@@ -1,0 +1,154 @@
+"""Shared neural building blocks for the diffusion stack (UNet + VAE).
+
+TPU-first conventions used throughout the model zoo:
+
+* **NHWC layout** — TPU convolutions natively tile [N, H, W, C] with the channel
+  axis on the 128-lane dimension; torch's NCHW would force transposes.
+* **bf16 compute / fp32 params** via the ``dtype``/``param_dtype`` pair on every
+  module (see ``core/dtypes.py``); matmuls accumulate in fp32.
+* **Static shapes only** — spatial dims come from ``x.shape`` under jit, all loops
+  are Python-unrolled over static config, so each (bucket, batch) pair compiles once.
+
+Functional equivalents of diffusers blocks the reference inherits through
+``UNet2DConditionModel`` / ``AutoencoderKL`` (reference ``src/models/unet.py:21,43``):
+ResnetBlock2D, Downsample2D/Upsample2D, GEGLU feed-forward, and the sinusoidal /
+MLP timestep embeddings.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers ``Timesteps`` semantics).
+
+    Args:
+      timesteps: [...] float or int tensor of timestep values.
+      dim: embedding dimension (must be even).
+
+    Returns [..., dim] float32 embeddings. SDXL uses flip_sin_to_cos=True,
+    downscale_freq_shift=0 for both the time and the micro-conditioning ids.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[..., None] * freqs
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer SiLU MLP lifting a sinusoidal embedding to the UNet width."""
+
+    out_dim: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    """GroupNorm-SiLU-Conv x2 residual block with additive time conditioning.
+
+    Matches the diffusers ResnetBlock2D the reference UNet is assembled from;
+    XLA fuses the norm+SiLU elementwise chain into the convolution's input.
+    """
+
+    out_channels: int
+    norm_num_groups: int = 32
+    use_time_emb: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 3x3 conv downsampling."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest-neighbor x2 then 3x3 conv."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv")(x)
+
+
+class GEGLUFeedForward(nn.Module):
+    """Transformer FFN with GEGLU gating (diffusers ``FeedForward`` default)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_in")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        x = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_out")(x)

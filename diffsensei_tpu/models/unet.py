@@ -1,0 +1,300 @@
+"""TPU-native SDXL UNet with manga conditioning hooks.
+
+Re-implements the capabilities of the reference ``UNetMangaModel``
+(``src/models/unet.py:43``) — an SDXL ``UNet2DConditionModel`` whose cross-attention
+processors are swapped for masked IP-Adapter processors
+(``src/models/attention_processor.py:99``) and which pastes a learned dialog-layout
+embedding onto the post-conv_in features (``src/models/unet.py:86-114,209-210``) —
+with a TPU-first structure:
+
+* **Context stays split.** The reference concatenates ``[text ‖ dummy ‖ ip]`` into one
+  tensor and re-splits it inside every processor (``attention_processor.py:213-217``);
+  here text tokens and IP tokens are separate arguments, so the two attention streams
+  (frozen text cross-attn, trainable IP cross-attn) are explicit matmuls with no
+  slicing in the hot path.
+* **Masks are hoisted.** The reference rebuilds the bbox attention mask with Python
+  loops inside every cross-attn layer on every denoise step
+  (``attention_processor.py:115-169,243``). The mask depends only on (bbox, h, w),
+  so the pipeline precomputes one additive bias per attention resolution level
+  (``ops/masked_ip.build_ip_attention_bias``) and the UNet just indexes it.
+* **Static spatial shapes.** The reference re-derives (h, w) from the flattened
+  sequence length by integer search per layer (``attention_processor.py:131-139``);
+  here NHWC shapes are static under jit, so (h, w) is known at trace time.
+* **NHWC + bf16** throughout; fp32 accumulation in attention and norms.
+
+Layout of the IP context (matches the reference Resampler output,
+``src/models/resampler.py:136-140``): ``[num_dummy_tokens ‖ char0 tokens ‖ …]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffsensei_tpu.core.config import UNetConfig
+from diffsensei_tpu.models.layers import (
+    Downsample2D,
+    GEGLUFeedForward,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Upsample2D,
+    timestep_embedding,
+)
+from diffsensei_tpu.ops.attention import multi_head_attention
+from diffsensei_tpu.ops.masked_ip import rasterize_dialog_embedding
+
+Dtype = Any
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, heads, d // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class SelfAttention(nn.Module):
+    """Spatial self-attention (reference ``AttnProcessor2_0``,
+    ``src/models/attention_processor.py:7-96``)."""
+
+    heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        dense = lambda name: nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        q = _split_heads(dense("to_q")(x), self.heads)
+        k = _split_heads(dense("to_k")(x), self.heads)
+        v = _split_heads(dense("to_v")(x), self.heads)
+        o = _merge_heads(multi_head_attention(q, k, v))
+        return nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="to_out")(o)
+
+
+class MangaCrossAttention(nn.Module):
+    """Dual-stream cross-attention: text tokens + spatially-masked IP tokens.
+
+    Math of the reference ``MaskedIPAttnProcessor2_0``
+    (``src/models/attention_processor.py:99-273``): one query projection, a standard
+    attention over text keys/values, a second attention over IP keys/values produced
+    by separate ``to_k_ip``/``to_v_ip`` projections (initialized from the frozen
+    ``to_k``/``to_v`` at porting time, reference ``unet.py:72-82``) under the
+    precomputed bbox bias, combined as ``text_attn + ip_scale * ip_attn`` before the
+    output projection (reference combine at ``attention_processor.py:258``).
+    """
+
+    heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ctx_text: jnp.ndarray,
+                 ctx_ip: Optional[jnp.ndarray] = None,
+                 ip_bias: Optional[jnp.ndarray] = None,
+                 ip_scale: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+        dim = x.shape[-1]
+        dense = lambda name: nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        q = _split_heads(dense("to_q")(x), self.heads)
+        k = _split_heads(dense("to_k")(ctx_text), self.heads)
+        v = _split_heads(dense("to_v")(ctx_text), self.heads)
+        h = multi_head_attention(q, k, v)
+
+        if ctx_ip is not None:
+            k_ip = _split_heads(dense("to_k_ip")(ctx_ip), self.heads)
+            v_ip = _split_heads(dense("to_v_ip")(ctx_ip), self.heads)
+            bias = None if ip_bias is None else ip_bias[:, None, :, :]
+            h_ip = multi_head_attention(q, k_ip, v_ip, bias=bias)
+            h = h + jnp.asarray(ip_scale, h.dtype) * h_ip
+
+        o = _merge_heads(h)
+        return nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="to_out")(o)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn → manga cross-attn → GEGLU FFN, each pre-LayerNorm + residual."""
+
+    heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx_text, ctx_ip, ip_bias, ip_scale):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name=name)
+        x = x + SelfAttention(self.heads, self.dtype, self.param_dtype,
+                              name="attn1")(ln("norm1")(x))
+        x = x + MangaCrossAttention(self.heads, self.dtype, self.param_dtype,
+                                    name="attn2")(
+            ln("norm2")(x), ctx_text, ctx_ip, ip_bias, ip_scale)
+        x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="ff")(ln("norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """SDXL-style spatial transformer: GroupNorm → linear in → N blocks → linear out."""
+
+    num_layers: int
+    heads: int
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx_text, ctx_ip, ip_bias, ip_scale):
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm")(x)
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj_in")(x)
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(self.heads, self.dtype, self.param_dtype,
+                                      name=f"blocks_{i}")(
+                x, ctx_text, ctx_ip, ip_bias, ip_scale)
+        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj_out")(x)
+        return x.reshape(b, h, w, c) + residual
+
+
+class UNetMangaModel(nn.Module):
+    """SDXL UNet with masked-IP cross-attention and dialog-layout embedding.
+
+    Args to ``__call__``:
+      sample: [B, H, W, in_channels] NHWC latents.
+      timesteps: [B] (or scalar) diffusion timesteps.
+      encoder_hidden_states: [B, T_text, cross_attention_dim] text context.
+      pooled_text_embeds: [B, pooled_projection_dim] (SDXL add-embeds).
+      time_ids: [B, 6] SDXL micro-conditioning (orig/crop/target sizes).
+      ip_hidden_states: [B, D + I*V, cross_attention_dim] manga tokens
+        (dummy block first), or None to disable IP conditioning.
+      ip_attn_bias: dict {level_index: [B, S_level, D + I*V]} additive biases from
+        ``build_ip_attention_bias`` at each attention resolution, or None.
+      ip_scale: IP stream weight (reference runtime knob,
+        ``pipeline_diffsensei.py:172-178``).
+      dialog_bbox: [B, max_num_dialogs, 4] relative bboxes, or None.
+
+    Returns the predicted noise, [B, H, W, out_channels].
+    """
+
+    config: UNetConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 pooled_text_embeds, time_ids,
+                 ip_hidden_states=None, ip_attn_bias=None,
+                 ip_scale: jnp.ndarray | float = 1.0,
+                 dialog_bbox=None):
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # --- time + SDXL micro-conditioning embeddings (reference unet.py:190-199)
+        temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb = TimestepEmbedding(cfg.time_embed_dim, name="time_embedding",
+                                 **kw)(temb.astype(self.dtype))
+        tid = timestep_embedding(time_ids.reshape(-1), cfg.addition_time_embed_dim)
+        tid = tid.reshape(time_ids.shape[0], -1)
+        add = jnp.concatenate(
+            [pooled_text_embeds.astype(jnp.float32), tid], axis=-1)
+        temb = temb + TimestepEmbedding(cfg.time_embed_dim, name="add_embedding",
+                                        **kw)(add.astype(self.dtype))
+
+        # --- conv_in + dialog-layout embedding (reference unet.py:206-210)
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in", **kw)(sample.astype(self.dtype))
+        if cfg.use_dialog_embedding:
+            dialog_embedding = self.param(
+                "dialog_bbox_embedding", nn.initializers.zeros,
+                (cfg.block_out_channels[0],), self.param_dtype)
+            if dialog_bbox is not None:
+                x = rasterize_dialog_embedding(x, dialog_bbox, dialog_embedding)
+
+        def attn_args(level):
+            bias = None
+            if ip_attn_bias is not None and ip_hidden_states is not None:
+                bias = ip_attn_bias.get(level)
+            return (encoder_hidden_states.astype(self.dtype),
+                    None if ip_hidden_states is None
+                    else ip_hidden_states.astype(self.dtype),
+                    bias, ip_scale)
+
+        n_levels = len(cfg.block_out_channels)
+        tlayers = cfg.transformer_layers_per_block
+
+        # --- down path (reference unet.py:244-265)
+        skips = [x]
+        for level in range(n_levels):
+            ch = cfg.block_out_channels[level]
+            heads = ch // cfg.head_dim
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(ch, cfg.norm_num_groups,
+                                  name=f"down_{level}_resnet_{j}", **kw)(x, temb)
+                if tlayers[level] > 0:
+                    x = Transformer2D(tlayers[level], heads, cfg.norm_num_groups,
+                                      name=f"down_{level}_attn_{j}", **kw)(
+                        x, *attn_args(level))
+                skips.append(x)
+            if level < n_levels - 1:
+                x = Downsample2D(ch, name=f"down_{level}_downsample", **kw)(x)
+                skips.append(x)
+
+        # --- mid block (reference unet.py:279-298)
+        mid_ch = cfg.block_out_channels[-1]
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups,
+                          name="mid_resnet_0", **kw)(x, temb)
+        x = Transformer2D(cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
+                          cfg.norm_num_groups, name="mid_attn", **kw)(
+            x, *attn_args(n_levels - 1))
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups,
+                          name="mid_resnet_1", **kw)(x, temb)
+
+        # --- up path (reference unet.py:304-332)
+        for rev, level in enumerate(reversed(range(n_levels))):
+            ch = cfg.block_out_channels[level]
+            heads = ch // cfg.head_dim
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock2D(ch, cfg.norm_num_groups,
+                                  name=f"up_{rev}_resnet_{j}", **kw)(x, temb)
+                if tlayers[level] > 0:
+                    x = Transformer2D(tlayers[level], heads, cfg.norm_num_groups,
+                                      name=f"up_{rev}_attn_{j}", **kw)(
+                        x, *attn_args(level))
+            if level > 0:
+                x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(x)
+
+        # --- output head (reference unet.py:335-338)
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         name="conv_norm_out", **kw)(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw)(x)
+        return x
+
+
+def attention_levels(cfg: UNetConfig) -> Tuple[int, ...]:
+    """Level indices that contain cross-attention (need an IP bias entry)."""
+    return tuple(i for i, t in enumerate(cfg.transformer_layers_per_block) if t > 0)
+
+
+def level_spatial_shape(cfg: UNetConfig, height: int, width: int,
+                        level: int) -> Tuple[int, int]:
+    """Feature-map (h, w) of a UNet level for a given latent (height, width)."""
+    return height >> level, width >> level

@@ -1,0 +1,155 @@
+"""SDXL VAE (AutoencoderKL-equivalent) in JAX/Flax, NHWC.
+
+The reference uses diffusers' ``AutoencoderKL`` — fp32 encode during training
+(``scripts/train/train.py:339-341``) and an fp32-upcast decode at inference
+(``src/pipelines/pipeline_diffsensei.py:339-365``, where fp16 overflows). On TPU the
+VAE runs fp32 end-to-end (``core/dtypes.DTypePolicy.vae_dtype``): it is a tiny
+fraction of pipeline FLOPs and fp32 removes the reference's overflow workaround.
+
+Architecture matches SDXL's VAE: 4 encoder stages (128, 256, 512, 512) with 2
+resnets each and a mid block with one self-attention; symmetric decoder with 3
+resnets per stage; latent space 2*4 channels (mean ‖ logvar) with a 1x1 quant conv.
+Mid-block attention runs over at most (H/8 * W/8) tokens — plain XLA attention.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffsensei_tpu.core.config import VAEConfig
+from diffsensei_tpu.models.layers import Downsample2D, ResnetBlock2D, Upsample2D
+
+Dtype = Any
+
+
+class VAEAttention(nn.Module):
+    """Single-head mid-block self-attention over spatial tokens."""
+
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="group_norm")(x)
+        x = x.reshape(b, h * w, c)
+        dense = lambda name: nn.Dense(c, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        q, k, v = dense("to_q")(x), dense("to_k")(x), dense("to_v")(x)
+        s = jnp.einsum("bqc,bkc->bqk", q, k,
+                       preferred_element_type=jnp.float32) * (c ** -0.5)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        x = jnp.einsum("bqk,bkc->bqc", p, v)
+        x = dense("to_out")(x)
+        return x.reshape(b, h, w, c) + residual
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in", **kw)(x)
+        for level, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(ch, cfg.norm_num_groups, use_time_emb=False,
+                                  name=f"down_{level}_resnet_{j}", **kw)(x)
+            if level < len(cfg.block_out_channels) - 1:
+                x = Downsample2D(ch, name=f"down_{level}_downsample", **kw)(x)
+        mid_ch = cfg.block_out_channels[-1]
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
+                          name="mid_resnet_0", **kw)(x)
+        x = VAEAttention(cfg.norm_num_groups, name="mid_attn", **kw)(x)
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
+                          name="mid_resnet_1", **kw)(x)
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                         name="conv_norm_out", **kw)(x)
+        x = nn.silu(x)
+        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
+                       name="conv_out", **kw)(x)
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        mid_ch = cfg.block_out_channels[-1]
+        x = nn.Conv(mid_ch, (3, 3), padding=1, name="conv_in", **kw)(z)
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
+                          name="mid_resnet_0", **kw)(x)
+        x = VAEAttention(cfg.norm_num_groups, name="mid_attn", **kw)(x)
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
+                          name="mid_resnet_1", **kw)(x)
+        for rev, ch in enumerate(reversed(cfg.block_out_channels)):
+            for j in range(cfg.layers_per_block + 1):
+                x = ResnetBlock2D(ch, cfg.norm_num_groups, use_time_emb=False,
+                                  name=f"up_{rev}_resnet_{j}", **kw)(x)
+            if rev < len(cfg.block_out_channels) - 1:
+                x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(x)
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                         name="conv_norm_out", **kw)(x)
+        x = nn.silu(x)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1,
+                       name="conv_out", **kw)(x)
+
+
+class AutoencoderKL(nn.Module):
+    """VAE with KL latent space; fp32 by default (see module docstring).
+
+    ``encode`` returns (mean, logvar); sampling and the ``scaling_factor``
+    multiply live in the caller (train step / pipeline), mirroring the reference's
+    ``vae.encode(...).latent_dist.sample() * scaling_factor``
+    (``scripts/train/train.py:339-341``).
+    """
+
+    config: VAEConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = Encoder(self.config, name="encoder", **kw)
+        self.decoder = Decoder(self.config, name="decoder", **kw)
+        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
+                                  name="quant_conv", **kw)
+        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
+                                       name="post_quant_conv", **kw)
+
+    def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        mean, logvar = self.encode(x)
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            rng, mean.shape, mean.dtype)
+        return self.decode(z)
+
+
+def sample_latent(mean: jnp.ndarray, logvar: jnp.ndarray, rng: jax.Array,
+                  scaling_factor: float) -> jnp.ndarray:
+    """Reparameterized latent sample scaled for the diffusion space."""
+    z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape, mean.dtype)
+    return z * scaling_factor

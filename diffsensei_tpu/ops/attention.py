@@ -1,0 +1,61 @@
+"""Attention dispatcher: Pallas flash kernel on TPU hot paths, XLA elsewhere.
+
+The decision mirrors where the reference leaned on fused CUDA attention: long
+spatial self-attention in the UNet (seq up to 16k tokens at 2048^2 panels) and
+causal LLaMA attention go to the Pallas kernel; short-key cross-attention (77 text
+tokens, 80 IP tokens, perceiver latents) is fastest as a plain XLA einsum-softmax,
+which XLA fuses on its own.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from diffsensei_tpu.ops.flash_attention import flash_attention
+
+# Below this key length a blocked kernel has nothing to block; XLA wins.
+_FLASH_MIN_KV = 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  bias: Optional[jnp.ndarray] = None, causal: bool = False,
+                  sm_scale: Optional[float] = None) -> jnp.ndarray:
+    """Unblocked XLA attention (also the parity oracle for the Pallas kernel)."""
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        rows = jnp.arange(sq)[:, None]
+        cols = jnp.arange(sk)[None, :]
+        s = jnp.where(rows >= cols, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         bias: Optional[jnp.ndarray] = None,
+                         causal: bool = False,
+                         sm_scale: Optional[float] = None,
+                         force_flash: Optional[bool] = None) -> jnp.ndarray:
+    """Attention over [batch, heads, seq, head_dim]; picks kernel by shape."""
+    kv_len = k.shape[2]
+    use_flash = force_flash
+    if use_flash is None:
+        use_flash = _on_tpu() and kv_len >= _FLASH_MIN_KV and q.shape[-1] % 8 == 0
+    if use_flash:
+        return flash_attention(q, k, v, bias, causal=causal, sm_scale=sm_scale)
+    return attention_ref(q, k, v, bias, causal=causal, sm_scale=sm_scale)

@@ -1,0 +1,369 @@
+"""DiffSensei inference pipeline: prompt → manga panel, fully jitted on TPU.
+
+Public surface mirrors the reference ``DiffSenseiPipeline.__call__``
+(``src/pipelines/pipeline_diffsensei.py:181-203``): prompt / negative prompt,
+height/width, ``num_inference_steps``, ``guidance_scale``, ``num_samples``,
+``ip_images`` XOR ``ip_image_embeds`` (the MLLM paste-over path, reference
+``:143-145``), ``ip_bbox``, ``ip_scale``, ``dialog_bbox``, seeded randomness.
+
+TPU-first structure (vs the reference's per-step Python loop):
+
+* the whole denoise loop — CFG batch doubling, UNet forward, guidance combine,
+  scheduler step — is ONE jitted function driven by ``lax.fori_loop``
+  (reference loops in Python with host sync per step, ``:310-337``);
+* masked-IP attention biases are computed once per call per UNet attention level
+  (reference rebuilds them per layer per step, ``attention_processor.py:243``);
+* free-form H/W snaps to the bucket grid by default (``core/buckets.snap_to_bucket``)
+  so serving hits a bounded set of compiled programs; the reference's
+  multiple-of-8 snap (``:208-210``, which is also a no-op bug — float division) is
+  available with ``snap_to_buckets=False``;
+* one compiled program per (bucket, batch, steps) key, cached by ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsensei_tpu.core.buckets import snap_to_bucket
+from diffsensei_tpu.core.config import (
+    MangaConfig,
+    PipelineConfig,
+    ResamplerConfig,
+    TextEncoderConfig,
+    UNetConfig,
+    VAEConfig,
+    VisionEncoderConfig,
+)
+from diffsensei_tpu.models.resampler import Resampler
+from diffsensei_tpu.models.schedulers import (
+    SamplerState,
+    make_sampler,
+    scale_model_input,
+    step as scheduler_step,
+)
+from diffsensei_tpu.models.text_encoder import CLIPTextEncoder
+from diffsensei_tpu.models.unet import UNetMangaModel, attention_levels
+from diffsensei_tpu.models.vae import AutoencoderKL
+from diffsensei_tpu.models.vision_encoder import VisionTransformer
+from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias
+
+LATENT_SCALE = 8  # VAE downscale factor
+
+
+@dataclasses.dataclass
+class PipelineModules:
+    """Model definitions + parameter pytrees for every pipeline stage."""
+
+    unet: UNetMangaModel
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    text_encoder: CLIPTextEncoder
+    text_encoder_params: Any
+    text_encoder_2: CLIPTextEncoder
+    text_encoder_2_params: Any
+    image_encoder: Optional[VisionTransformer] = None
+    image_encoder_params: Any = None
+    magi_encoder: Optional[VisionTransformer] = None
+    magi_encoder_params: Any = None
+    resampler: Optional[Resampler] = None
+    resampler_params: Any = None
+    tokenizer: Any = None      # callable(str) -> [77] ids, or HF tokenizer
+    tokenizer_2: Any = None
+
+    @property
+    def manga(self) -> MangaConfig:
+        return self.unet.config.manga
+
+    @classmethod
+    def tiny(cls, rng: jax.Array) -> "PipelineModules":
+        """CPU-testable tiny stack with matching cross-dims (no tokenizers)."""
+        manga = MangaConfig(max_num_ips=2, num_vision_tokens=4,
+                            num_dummy_tokens=4, max_num_dialogs=3)
+        ucfg = UNetConfig.tiny(manga)
+        vcfg = VAEConfig.tiny()
+        # two text encoders whose hidden sizes sum to cross_attention_dim
+        t1 = dataclasses.replace(TextEncoderConfig.tiny(), hidden_size=16,
+                                 intermediate_size=32)
+        t2 = dataclasses.replace(
+            TextEncoderConfig.tiny(projection_dim=ucfg.pooled_projection_dim),
+            hidden_size=ucfg.cross_attention_dim - t1.hidden_size)
+        icfg = VisionEncoderConfig.tiny()
+        mcfg = dataclasses.replace(VisionEncoderConfig.tiny(), hidden_size=16)
+        rcfg = dataclasses.replace(
+            ResamplerConfig.tiny(manga),
+            embedding_dim=icfg.hidden_size, magi_embedding_dim=mcfg.hidden_size,
+            output_dim=ucfg.cross_attention_dim)
+
+        keys = jax.random.split(rng, 7)
+        unet = UNetMangaModel(ucfg)
+        vae = AutoencoderKL(vcfg)
+        te1, te2 = CLIPTextEncoder(t1), CLIPTextEncoder(t2)
+        ienc, menc = VisionTransformer(icfg), VisionTransformer(mcfg)
+        res = Resampler(rcfg)
+
+        ids = jnp.zeros((1, 77), jnp.int32)
+        img = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        lat = jnp.zeros((1, 8, 8, 4), jnp.float32)
+        unet_params = unet.init(
+            keys[0], lat, jnp.zeros((1,)), jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+            jnp.zeros((1, ucfg.pooled_projection_dim)), jnp.zeros((1, 6)),
+            ip_hidden_states=jnp.zeros(
+                (1, manga.num_context_image_tokens, ucfg.cross_attention_dim)))
+        return cls(
+            unet=unet, unet_params=unet_params,
+            vae=vae, vae_params=vae.init(keys[1], jnp.zeros((1, 32, 32, 3)),
+                                         keys[2]),
+            text_encoder=te1, text_encoder_params=te1.init(keys[3], ids),
+            text_encoder_2=te2, text_encoder_2_params=te2.init(keys[4], ids),
+            image_encoder=ienc, image_encoder_params=ienc.init(keys[5], img),
+            magi_encoder=menc, magi_encoder_params=menc.init(keys[6], img),
+            resampler=res, resampler_params=res.init(
+                jax.random.fold_in(rng, 9),
+                jnp.zeros((1, manga.max_num_ips, icfg.seq_len, icfg.hidden_size)),
+                jnp.zeros((1, manga.max_num_ips, mcfg.hidden_size))),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Jitted core: the denoising loop (one compile per shape/step-count key)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("unet", "use_ip"))
+def _denoise(unet: UNetMangaModel, unet_params, sampler: SamplerState,
+             latents, ctx, pooled, time_ids, ip_tokens, ip_biases,
+             dialog_bbox, guidance_scale, ip_scale, *, use_ip: bool):
+    """CFG denoise: all conditioning arrives pre-doubled [neg; pos] on axis 0."""
+
+    def body(i, lat):
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = scale_model_input(sampler, lat_in, i)
+        t = jnp.broadcast_to(sampler.timesteps[i], (lat_in.shape[0],))
+        eps = unet.apply(
+            unet_params, lat_in, t, ctx, pooled, time_ids,
+            ip_hidden_states=ip_tokens if use_ip else None,
+            ip_attn_bias=ip_biases if use_ip else None,
+            ip_scale=ip_scale,
+            dialog_bbox=dialog_bbox)
+        eps_neg, eps_pos = jnp.split(eps, 2, axis=0)
+        eps = eps_neg + guidance_scale * (eps_pos - eps_neg)
+        return scheduler_step(sampler, eps, i, lat)
+
+    return jax.lax.fori_loop(0, sampler.num_steps, body, latents)
+
+
+@functools.partial(jax.jit, static_argnames=("vae",))
+def _decode(vae: AutoencoderKL, vae_params, latents, scaling_factor):
+    z = latents.astype(jnp.float32) / scaling_factor
+    img = vae.apply(vae_params, z, method=vae.decode)
+    return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+
+class DiffSenseiPipeline:
+    """End-to-end manga panel generation (wo-MLLM and MLLM paste-over paths)."""
+
+    def __init__(self, modules: PipelineModules,
+                 config: PipelineConfig = PipelineConfig()):
+        self.m = modules
+        self.config = config
+        self.vae_scaling = self.m.vae.config.scaling_factor
+        self.latent_scale = self.m.vae.config.downscale_factor
+
+    # -- prompt encoding (reference inherits SDXL encode_prompt, :232-245) ----
+    def _tokenize(self, tokenizer, text: str) -> jnp.ndarray:
+        if tokenizer is None:
+            raise ValueError("pipeline built without tokenizers; pass token ids")
+        out = tokenizer(text, padding="max_length", max_length=77,
+                        truncation=True, return_tensors="np")
+        return jnp.asarray(out["input_ids"], jnp.int32)
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = "",
+                      ids: Optional[jnp.ndarray] = None,
+                      neg_ids: Optional[jnp.ndarray] = None,
+                      ids_2: Optional[jnp.ndarray] = None,
+                      neg_ids_2: Optional[jnp.ndarray] = None):
+        """Returns (ctx [2, 77, D_cross], pooled [2, P]) with row 0 = negative."""
+        if ids is None:
+            ids = self._tokenize(self.m.tokenizer, prompt)
+            neg_ids = self._tokenize(self.m.tokenizer, negative_prompt)
+        if ids_2 is None:
+            tok2 = self.m.tokenizer_2 or self.m.tokenizer
+            if self.m.tokenizer_2 is None and self.m.tokenizer is None:
+                ids_2, neg_ids_2 = ids, neg_ids
+            else:
+                ids_2 = self._tokenize(tok2, prompt)
+                neg_ids_2 = self._tokenize(tok2, negative_prompt)
+        both = jnp.concatenate([neg_ids, ids], axis=0)
+        both_2 = jnp.concatenate([neg_ids_2, ids_2], axis=0)
+        h1, _ = self.m.text_encoder.apply(self.m.text_encoder_params, both)
+        h2, pooled = self.m.text_encoder_2.apply(
+            self.m.text_encoder_2_params, both_2)
+        ctx = jnp.concatenate([h1, h2], axis=-1)
+        return ctx, pooled
+
+    # -- character embedding prep (reference :104-154) ------------------------
+    def prepare_ip_image_embeds(
+        self,
+        ip_pixel_values: Optional[jnp.ndarray],
+        ip_image_embeds: Optional[jnp.ndarray] = None,
+        num_valid: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Character crops → (positive, negative) resampled IP tokens.
+
+        Args:
+          ip_pixel_values: [max_num_ips, H, W, 3] preprocessed crops, black-image
+            padded to ``max_num_ips`` (reference pads at ``:118-122``), or None
+            when ``ip_image_embeds`` carries precomputed MLLM features.
+          ip_image_embeds: [num_valid, V, D_cross] precomputed per-character token
+            blocks to paste over the resampler output (reference ``:143-145``).
+          num_valid: count of real (non-padding) characters.
+
+        Returns (pos, neg): each [1, D + I*V, D_cross].
+        """
+        m = self.m
+        manga = m.manga
+        if ip_pixel_values is not None:
+            n_ips = ip_pixel_values.shape[0]
+            clip_h, _ = m.image_encoder.apply(m.image_encoder_params,
+                                              ip_pixel_values)
+            _, magi_cls = m.magi_encoder.apply(m.magi_encoder_params,
+                                               ip_pixel_values)
+            clip_h = clip_h[None]                       # [1, I, P, D]
+            magi_cls = magi_cls[None]                   # [1, I, Dm]
+            if num_valid is not None and num_valid < n_ips:
+                # zero the padding characters' embeddings (reference :131-132)
+                valid = (jnp.arange(n_ips) < num_valid)
+                clip_h = clip_h * valid[None, :, None, None]
+                magi_cls = magi_cls * valid[None, :, None]
+        else:
+            n_ips = manga.max_num_ips
+            p = m.resampler.config
+            clip_h = jnp.zeros((1, n_ips, m.image_encoder.config.seq_len,
+                                p.embedding_dim), jnp.float32)
+            magi_cls = jnp.zeros((1, n_ips, p.magi_embedding_dim), jnp.float32)
+
+        pos = m.resampler.apply(m.resampler_params, clip_h, magi_cls)
+        neg = m.resampler.apply(m.resampler_params,
+                                jnp.zeros_like(clip_h), jnp.zeros_like(magi_cls))
+
+        if ip_image_embeds is not None:
+            # paste MLLM-adapted per-character blocks over the resampler output
+            nv = ip_image_embeds.shape[0]
+            v = manga.num_vision_tokens
+            pasted = jax.lax.dynamic_update_slice(
+                pos, ip_image_embeds.reshape(1, nv * v, -1).astype(pos.dtype),
+                (0, manga.num_dummy_tokens, 0))
+            pos = pasted
+        return pos, neg
+
+    def _prepare_bboxes(self, ip_bbox, dialog_bbox, batch: int):
+        manga = self.m.manga
+        def pad(boxes, max_n):
+            arr = np.zeros((max_n, 4), np.float32)
+            if boxes is not None:
+                boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+                arr[:min(len(boxes), max_n)] = boxes[:max_n]
+            return arr
+        ip = jnp.asarray(np.broadcast_to(pad(ip_bbox, manga.max_num_ips),
+                                         (batch, manga.max_num_ips, 4)))
+        dlg = jnp.asarray(np.broadcast_to(pad(dialog_bbox, manga.max_num_dialogs),
+                                          (batch, manga.max_num_dialogs, 4)))
+        return ip, dlg
+
+    # -- main entry (reference __call__ :181-372) ------------------------------
+    def __call__(
+        self,
+        prompt: str = "",
+        *,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
+        num_samples: int = 1,
+        rng: Optional[jax.Array] = None,
+        ip_pixel_values: Optional[jnp.ndarray] = None,
+        ip_image_embeds: Optional[jnp.ndarray] = None,
+        ip_bbox: Optional[Sequence[Sequence[float]]] = None,
+        ip_scale: Optional[float] = None,
+        dialog_bbox: Optional[Sequence[Sequence[float]]] = None,
+        snap_to_buckets: bool = True,
+        prompt_ids: Optional[Dict[str, jnp.ndarray]] = None,
+        return_latents: bool = False,
+    ) -> jnp.ndarray:
+        """Generate panels; returns [num_samples, H, W, 3] in [0, 1] (fp32).
+
+        ``ip_pixel_values`` and ``ip_image_embeds`` follow the reference's mutual
+        contract (``check_inputs``, ``:81-102``): embeds, when given, are pasted
+        over the encoded characters.
+        """
+        cfg = self.config
+        m = self.m
+        manga = m.manga
+        steps = num_inference_steps or cfg.num_inference_steps
+        gscale = cfg.guidance_scale if guidance_scale is None else guidance_scale
+        ipscale = cfg.ip_scale if ip_scale is None else ip_scale
+        neg = cfg.negative_prompt if negative_prompt is None else negative_prompt
+        rng = rng if rng is not None else jax.random.key(0)
+
+        if snap_to_buckets:
+            height, width = snap_to_bucket(height, width)
+        lh, lw = height // self.latent_scale, width // self.latent_scale
+
+        # 1. text (row 0 = negative, row 1 = positive)
+        ctx, pooled = self.encode_prompt(prompt, neg, **(prompt_ids or {}))
+
+        # 2. characters
+        use_ip = (ip_pixel_values is not None or ip_image_embeds is not None) \
+            and m.resampler is not None
+        if use_ip:
+            num_valid = None
+            if ip_bbox is not None:
+                num_valid = len(ip_bbox)
+            ip_pos, ip_neg = self.prepare_ip_image_embeds(
+                ip_pixel_values, ip_image_embeds, num_valid)
+            ip_tokens = jnp.concatenate(
+                [jnp.repeat(ip_neg, num_samples, 0),
+                 jnp.repeat(ip_pos, num_samples, 0)], axis=0)
+        else:
+            ip_tokens = None
+
+        # 3. bboxes + per-level attention biases (hoisted out of the loop)
+        ip_bbox_arr, dialog_arr = self._prepare_bboxes(
+            ip_bbox, dialog_bbox, 2 * num_samples)
+        ip_biases = {}
+        if use_ip:
+            for level in attention_levels(m.unet.config):
+                ip_biases[level] = build_ip_attention_bias(
+                    ip_bbox_arr, lh >> level, lw >> level,
+                    manga.num_vision_tokens, manga.num_dummy_tokens)
+
+        # 4. SDXL micro-conditioning: (orig, crop, target) sizes
+        time_ids = jnp.asarray(
+            [[height, width, 0, 0, height, width]], jnp.float32)
+        time_ids = jnp.repeat(time_ids, 2 * num_samples, axis=0)
+
+        # 5. latents
+        latents = jax.random.normal(
+            rng, (num_samples, lh, lw, m.unet.config.in_channels), jnp.float32)
+        sampler = make_sampler(cfg.scheduler, steps)
+        latents = latents * sampler.init_noise_sigma
+
+        ctx = jnp.repeat(ctx, num_samples, axis=0)
+        pooled = jnp.repeat(pooled, num_samples, axis=0)
+
+        latents = _denoise(
+            m.unet, m.unet_params, sampler, latents, ctx, pooled, time_ids,
+            ip_tokens, ip_biases if use_ip else None,
+            dialog_arr, jnp.asarray(gscale, jnp.float32),
+            jnp.asarray(ipscale, jnp.float32), use_ip=use_ip)
+
+        if return_latents:
+            return latents
+        return _decode(m.vae, m.vae_params, latents,
+                       jnp.asarray(self.vae_scaling, jnp.float32))

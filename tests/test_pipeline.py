@@ -1,0 +1,78 @@
+"""End-to-end tiny-config pipeline tests (CPU, few steps, small latents).
+
+Covers BASELINE.json config #1 (unconditioned t2i at small size, DDIM) and the
+wo-MLLM conditioned path (config #2 shape-wise): characters + bboxes + dialog.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsensei_tpu.pipelines.pipeline import DiffSenseiPipeline, PipelineModules
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    modules = PipelineModules.tiny(jax.random.key(0))
+    return DiffSenseiPipeline(modules)
+
+
+def _prompt_ids(vocab=256):
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.integers(1, vocab - 1, (1, 77)), jnp.int32)
+    return dict(ids=mk(), neg_ids=mk(), ids_2=mk(), neg_ids_2=mk())
+
+
+def test_unconditioned_t2i(tiny_pipeline):
+    images = tiny_pipeline(
+        height=64, width=64, num_inference_steps=4, guidance_scale=5.0,
+        num_samples=1, rng=jax.random.key(1), prompt_ids=_prompt_ids(),
+        snap_to_buckets=False,
+    )
+    assert images.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(images).all())
+    assert float(images.min()) >= 0.0 and float(images.max()) <= 1.0
+
+
+def test_conditioned_wo_mllm(tiny_pipeline):
+    manga = tiny_pipeline.m.manga
+    chars = jnp.ones((manga.max_num_ips, 224, 224, 3), jnp.float32) * 0.2
+    images = tiny_pipeline(
+        height=64, width=64, num_inference_steps=2,
+        num_samples=2, rng=jax.random.key(2), prompt_ids=_prompt_ids(),
+        ip_pixel_values=chars,
+        ip_bbox=[[0.0, 0.0, 0.5, 1.0], [0.5, 0.0, 1.0, 1.0]],
+        dialog_bbox=[[0.1, 0.0, 0.4, 0.2]],
+        snap_to_buckets=False,
+    )
+    assert images.shape == (2, 64, 64, 3)
+    assert bool(jnp.isfinite(images).all())
+
+
+def test_ip_image_embeds_paste(tiny_pipeline):
+    """The MLLM paste-over path (reference pipeline_diffsensei.py:143-145)."""
+    manga = tiny_pipeline.m.manga
+    cross = tiny_pipeline.m.unet.config.cross_attention_dim
+    embeds = jnp.ones((1, manga.num_vision_tokens, cross), jnp.float32) * 0.1
+    latents = tiny_pipeline(
+        height=64, width=64, num_inference_steps=2,
+        rng=jax.random.key(3), prompt_ids=_prompt_ids(),
+        ip_image_embeds=embeds,
+        ip_bbox=[[0.0, 0.0, 1.0, 1.0]],
+        snap_to_buckets=False, return_latents=True,
+    )
+    assert latents.shape == (1, 8, 8, 4)
+    assert bool(jnp.isfinite(latents).all())
+
+
+def test_snap_to_buckets(tiny_pipeline):
+    """Free-form sizes land on the bucket grid (serving recompile control)."""
+    latents = tiny_pipeline(
+        height=250, width=1000, num_inference_steps=1,
+        rng=jax.random.key(4), prompt_ids=_prompt_ids(),
+        return_latents=True,
+    )
+    # 250x1000 (area 250k) snaps to the 512-class bucket (256, 1024)
+    # -> latents (32, 128)
+    assert latents.shape == (1, 32, 128, 4)
