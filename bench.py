@@ -1,0 +1,157 @@
+"""Flagship benchmark: SDXL-1024² manga panel generation, 20 denoise steps.
+
+Prints ONE JSON line:
+  {"metric": "panels_per_sec_per_chip", "value": N, "unit": "panels/s",
+   "vs_baseline": N, ...extras}
+
+Measures the full conditioned pipeline hot path on the current default device
+(real TPU under the driver): the jitted CFG denoise loop of the SDXL manga UNet
+(masked-IP cross-attention + dialog embedding, bf16, batch 1, 20 Euler steps =
+40 UNet forwards) plus fp32 VAE decode. Random weights — identical FLOPs to
+trained ones.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north star is
+2x an A100 running the reference. A100-80GB fp16+xformers SDXL-base at 1024²
+with CFG runs ~2.1 denoise-steps/s => 20 steps ~= 9.5 s/panel ~= 0.105
+panels/s; `vs_baseline` is measured/0.105 (>=2.0 beats the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_REF_PANELS_PER_SEC = 0.105
+STEPS = 20
+HEIGHT = WIDTH = 1024
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from diffsensei_tpu.core.config import UNetConfig, VAEConfig
+    from diffsensei_tpu.models.schedulers import make_sampler, scale_model_input
+    from diffsensei_tpu.models.schedulers import step as scheduler_step
+    from diffsensei_tpu.models.unet import UNetMangaModel, attention_levels
+    from diffsensei_tpu.models.vae import AutoencoderKL
+    from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias
+
+    dtype = jnp.bfloat16
+    cfg = UNetConfig.sdxl()
+    manga = cfg.manga
+    unet = UNetMangaModel(cfg, dtype=dtype, param_dtype=dtype)
+    lh, lw = HEIGHT // 8, WIDTH // 8
+    b = 1  # panels per batch; CFG doubles the UNet batch internally
+
+    rng = jax.random.key(0)
+    ctx = jax.random.normal(rng, (2 * b, 77, cfg.cross_attention_dim), dtype)
+    pooled = jnp.zeros((2 * b, cfg.pooled_projection_dim), dtype)
+    time_ids = jnp.full((2 * b, 6), float(HEIGHT), jnp.float32)
+    ip_tokens = jax.random.normal(
+        jax.random.key(1),
+        (2 * b, manga.num_context_image_tokens, cfg.cross_attention_dim), dtype)
+    bbox = jnp.tile(jnp.asarray(
+        [[[0.0, 0.0, 0.5, 1.0], [0.5, 0.0, 1.0, 1.0],
+          [0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]]], jnp.float32),
+        (2 * b, 1, 1))
+    biases = {
+        level: build_ip_attention_bias(bbox, lh >> level, lw >> level,
+                                       manga.num_vision_tokens,
+                                       manga.num_dummy_tokens, dtype=dtype)
+        for level in attention_levels(cfg)
+    }
+    dialog = jnp.tile(jnp.asarray([[[0.1, 0.0, 0.5, 0.2]] + [[0.0] * 4] * 7],
+                                  jnp.float32), (2 * b, 1, 1))
+
+    t0 = time.perf_counter()
+    params = unet.init(jax.random.key(2),
+                       jnp.zeros((2 * b, lh, lw, cfg.in_channels), dtype),
+                       jnp.zeros((2 * b,)), ctx, pooled, time_ids,
+                       ip_hidden_states=ip_tokens, ip_attn_bias=biases,
+                       ip_scale=0.6, dialog_bbox=dialog)
+    init_s = time.perf_counter() - t0
+
+    sampler = make_sampler("euler_discrete", STEPS)
+
+    @jax.jit
+    def denoise(params, latents):
+        def body(i, lat):
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            lat_in = scale_model_input(sampler, lat_in, i).astype(dtype)
+            t = jnp.broadcast_to(sampler.timesteps[i], (2 * b,))
+            eps = unet.apply(params, lat_in, t, ctx, pooled, time_ids,
+                             ip_hidden_states=ip_tokens, ip_attn_bias=biases,
+                             ip_scale=0.6, dialog_bbox=dialog)
+            e_neg, e_pos = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+            eps = e_neg + 7.5 * (e_pos - e_neg)
+            return scheduler_step(sampler, eps, i, lat)
+
+        latents = latents * sampler.init_noise_sigma
+        return jax.lax.fori_loop(0, STEPS, body, latents)
+
+    latents0 = jax.random.normal(jax.random.key(3),
+                                 (b, lh, lw, cfg.in_channels), jnp.float32)
+
+    # TTF-panel: first call includes compilation
+    t0 = time.perf_counter()
+    out = denoise(params, latents0)
+    out.block_until_ready()
+    ttf_s = time.perf_counter() - t0
+
+    # optional VAE decode (fp32); excluded from the denoise timing below,
+    # included in panels/sec
+    vae_s = 0.0
+    decode = None
+    try:
+        vae = AutoencoderKL(VAEConfig.sdxl())
+        vae_params = jax.jit(
+            lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3)), jax.random.key(1))
+        )(jax.random.key(4))
+
+        @jax.jit
+        def decode(vp, z):
+            img = vae.apply(vp, z / 0.13025, method=vae.decode)
+            return jnp.clip(img / 2 + 0.5, 0, 1)
+
+        img = decode(vae_params, out)
+        img.block_until_ready()
+        t0 = time.perf_counter()
+        img = decode(vae_params, out)
+        img.block_until_ready()
+        vae_s = time.perf_counter() - t0
+    except Exception as e:  # noqa: BLE001 — VAE OOM must not kill the bench
+        print(f"# vae decode skipped: {type(e).__name__}: {e}")
+        decode = None
+
+    # steady state: median of repeated timed panels
+    times = []
+    for rep in range(3):
+        lat = jax.random.normal(jax.random.key(10 + rep),
+                                (b, lh, lw, cfg.in_channels), jnp.float32)
+        t0 = time.perf_counter()
+        out = denoise(params, lat)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    denoise_s = times[len(times) // 2]
+    panel_s = denoise_s + vae_s
+    panels_per_sec = b / panel_s
+    step_ms = denoise_s / STEPS * 1000
+
+    print(json.dumps({
+        "metric": "panels_per_sec_per_chip",
+        "value": round(panels_per_sec, 4),
+        "unit": "panels/s (SDXL 1024^2, 20 steps, CFG, masked-IP+dialog)",
+        "vs_baseline": round(panels_per_sec / A100_REF_PANELS_PER_SEC, 3),
+        "p50_unet_step_ms": round(step_ms / 2, 2),  # per UNet fwd (CFG=2/step)
+        "p50_denoise_step_ms": round(step_ms, 2),
+        "ttf_panel_s": round(ttf_s, 2),
+        "vae_decode_s": round(vae_s, 3),
+        "param_init_s": round(init_s, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

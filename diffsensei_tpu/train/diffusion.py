@@ -1,0 +1,240 @@
+"""Diffusion training steps: stage 1 (t2i) and stage 2 (condition).
+
+Functional re-design of the reference train loops:
+
+* stage 1 — plain SDXL epsilon-MSE fine-tune on manga panels
+  (``scripts/train/train_t2i.py:258-303``);
+* stage 2 — adds the IP machinery: frozen CLIP/Magi character encoding, the
+  trainable Resampler, source-mean embedding, optional contrastive loss, and
+  the manga UNet with bbox conditioning (``scripts/train/train.py:336-426``).
+
+Each step is one pure function ``(state, frozen, batch, rng) -> (state, metrics)``
+jitted/pjit-ed over the (data, model) mesh: batch leaves shard on ``data``;
+params replicate (the reference's DDP, SURVEY.md §2.5) so the psum XLA inserts
+for the gradient mean IS the NCCL all-reduce equivalent. Gradient accumulation
+uses ``optax.MultiSteps`` (reference ``accelerator.accumulate``, ``train.py:336``);
+activation rematerialization comes from ``jax.checkpoint`` over the UNet apply.
+
+Unlike the reference, the trainable subtree is explicit: ``TrainState.params``
+holds ONLY what trains (UNet [+ Resampler]); frozen encoders live in
+``FrozenDiffusionStack`` outside the differentiated arguments, so no wasted
+backward FLOPs and no requires_grad bookkeeping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from diffsensei_tpu.core.config import MangaConfig
+from diffsensei_tpu.models.schedulers import DDPMSchedule
+from diffsensei_tpu.models.unet import attention_levels
+from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias
+from diffsensei_tpu.train import losses
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any                        # trainable subtree only
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params: Any, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads: Any) -> "TrainState":
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=opt_state)
+
+
+@dataclasses.dataclass(frozen=True)
+class FrozenDiffusionStack:
+    """Frozen modules + params used by the train step (no grads flow here)."""
+
+    vae: Any
+    vae_params: Any
+    text_encoder: Any
+    text_encoder_params: Any
+    text_encoder_2: Any
+    text_encoder_2_params: Any
+    image_encoder: Any = None
+    image_encoder_params: Any = None
+    magi_encoder: Any = None
+    magi_encoder_params: Any = None
+    vae_scaling: float = 0.13025
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2Config:
+    manga: MangaConfig
+    max_num_sources: int = 2
+    ip_contrastive: Optional[str] = None        # None | "fast" | "slow"
+    ip_contrastive_weight: float = 0.1
+    snr_clip: Optional[float] = None            # reserved (reference: plain MSE)
+    remat_unet: bool = False
+
+
+def _encode_text(frozen: FrozenDiffusionStack, ids, ids_2):
+    h1, _ = frozen.text_encoder.apply(frozen.text_encoder_params, ids)
+    h2, pooled = frozen.text_encoder_2.apply(frozen.text_encoder_2_params, ids_2)
+    return jnp.concatenate([h1, h2], axis=-1), pooled
+
+
+def _encode_latents(frozen: FrozenDiffusionStack, pixel_values, rng):
+    mean, logvar = frozen.vae.apply(frozen.vae_params, pixel_values,
+                                    method=frozen.vae.encode)
+    z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape,
+                                                         mean.dtype)
+    return z * frozen.vae_scaling
+
+
+def _sample_noise_and_t(schedule: DDPMSchedule, latents, rng):
+    rng_n, rng_t = jax.random.split(rng)
+    noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+    t = jax.random.randint(rng_t, (latents.shape[0],), 0,
+                           schedule.num_train_timesteps)
+    return noise, t, schedule.add_noise(latents, noise, t)
+
+
+def _time_ids(batch) -> jnp.ndarray:
+    """SDXL micro-conditioning [orig_hw, crop_tl, target_hw] (train.py:399-404)."""
+    return jnp.concatenate(
+        [batch["original_size"], batch["crop_coords_top_left"],
+         batch["target_size"]], axis=-1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: t2i fine-tune (train_t2i.py)
+# ---------------------------------------------------------------------------
+def make_stage1_step(unet, frozen: FrozenDiffusionStack,
+                     schedule: DDPMSchedule,
+                     remat_unet: bool = False) -> Callable:
+    unet_apply = jax.checkpoint(unet.apply) if remat_unet else unet.apply
+
+    def loss_fn(params, batch, rng):
+        latents = _encode_latents(frozen, batch["pixel_values"],
+                                  jax.random.fold_in(rng, 0))
+        noise, t, noisy = _sample_noise_and_t(schedule, latents,
+                                              jax.random.fold_in(rng, 1))
+        ctx, pooled = _encode_text(frozen, batch["text_input_ids"],
+                                   batch["text_input_ids_2"])
+        pred = unet_apply(params, noisy, t.astype(jnp.float32), ctx, pooled,
+                          _time_ids(batch))
+        loss = losses.diffusion_loss(pred, noise)
+        return loss, {"loss_diffusion": loss}
+
+    def step(state: TrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        return state.apply_gradients(grads), {**metrics, "loss": loss}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: IP-conditioned training (train.py)
+# ---------------------------------------------------------------------------
+def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
+                     schedule: DDPMSchedule, cfg: Stage2Config) -> Callable:
+    """Trainable params tree: ``{"unet": ..., "resampler": ...}``.
+
+    Expected batch (shapes per SURVEY §2.3, collate at
+    ``dataset_size_bucket.py:303-334``):
+      pixel_values [B,H,W,3]; text_input_ids / _2 [B,77];
+      ip_pixel_values [B, I, S, 224, 224, 3]; magi_pixel_values same;
+      ip_exists [B, I, S]; ip_bbox [B, I, 4]; dialog_bbox [B, Dlg, 4];
+      original_size / crop_coords_top_left / target_size [B, 2].
+    """
+    manga = cfg.manga
+    unet_apply = jax.checkpoint(unet.apply) if cfg.remat_unet else unet.apply
+
+    def loss_fn(params, batch, rng):
+        b, i, s = batch["ip_exists"].shape
+
+        latents = _encode_latents(frozen, batch["pixel_values"],
+                                  jax.random.fold_in(rng, 0))
+        noise, t, noisy = _sample_noise_and_t(schedule, latents,
+                                              jax.random.fold_in(rng, 1))
+
+        # frozen character encoders over all B*I*S crops (train.py:356-367)
+        crops = batch["ip_pixel_values"].reshape((b * i * s,) +
+                                                 batch["ip_pixel_values"].shape[3:])
+        magi_crops = batch["magi_pixel_values"].reshape(
+            (b * i * s,) + batch["magi_pixel_values"].shape[3:])
+        clip_h, _ = frozen.image_encoder.apply(frozen.image_encoder_params, crops)
+        _, magi_cls = frozen.magi_encoder.apply(frozen.magi_encoder_params,
+                                                magi_crops)
+        clip_h = jax.lax.stop_gradient(clip_h)
+        magi_cls = jax.lax.stop_gradient(magi_cls)
+        # regroup [B,I,S,...] -> sources-major [B*S, I, ...] (train.py:362)
+        p, d_clip = clip_h.shape[-2:]
+        clip_h = clip_h.reshape(b, i, s, p, d_clip).transpose(0, 2, 1, 3, 4)
+        clip_h = clip_h.reshape(b * s, i, p, d_clip)
+        magi_cls = magi_cls.reshape(b, i, s, -1).transpose(0, 2, 1, 3)
+        magi_cls = magi_cls.reshape(b * s, i, -1)
+
+        # trainable resampler (train.py:369)
+        image_embeds = resampler.apply(params["resampler"], clip_h, magi_cls)
+
+        # contrastive loss on character blocks (train.py:372-377; the
+        # reconstructed component — see losses.ip_contrastive_loss)
+        if cfg.ip_contrastive == "fast":
+            loss_c = losses.ip_contrastive_loss(
+                image_embeds[:, manga.num_dummy_tokens:, :],
+                batch["ip_exists"], b, i, manga.num_vision_tokens)
+        elif cfg.ip_contrastive == "slow":
+            loss_c = losses.ip_contrastive_loss_slow(
+                image_embeds[:, manga.num_dummy_tokens:, :],
+                batch["ip_exists"], b, i, manga.num_vision_tokens)
+        else:
+            loss_c = jnp.asarray(0.0, jnp.float32)
+
+        # source-mean (train.py:380) then zero out nonexistent characters
+        ip_tokens = losses.mean_multiple_ip_embeds(
+            image_embeds, batch["ip_exists"], manga.num_dummy_tokens,
+            i, manga.num_vision_tokens, b)
+        any_source = (batch["ip_exists"].sum(-1) > 0).astype(ip_tokens.dtype)
+        char_mask = jnp.repeat(any_source, manga.num_vision_tokens, axis=1)
+        keep = jnp.concatenate(
+            [jnp.ones((b, manga.num_dummy_tokens), ip_tokens.dtype), char_mask],
+            axis=1)
+        ip_tokens = ip_tokens * keep[..., None]
+
+        ctx, pooled = _encode_text(frozen, batch["text_input_ids"],
+                                   batch["text_input_ids_2"])
+
+        # masked-IP biases per attention level, hoisted (vs per-layer rebuild
+        # at attention_processor.py:243)
+        lh, lw = latents.shape[1], latents.shape[2]
+        biases = {
+            level: build_ip_attention_bias(
+                batch["ip_bbox"], lh >> level, lw >> level,
+                manga.num_vision_tokens, manga.num_dummy_tokens)
+            for level in attention_levels(unet.config)
+        }
+
+        pred = unet_apply(params["unet"], noisy, t.astype(jnp.float32), ctx,
+                          pooled, _time_ids(batch),
+                          ip_hidden_states=ip_tokens, ip_attn_bias=biases,
+                          ip_scale=1.0, dialog_bbox=batch["dialog_bbox"])
+
+        loss_d = losses.diffusion_loss(pred, noise)
+        loss = loss_d + cfg.ip_contrastive_weight * loss_c
+        return loss, {"loss_diffusion": loss_d, "loss_ip_contrastive": loss_c}
+
+    def step(state: TrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        return state.apply_gradients(grads), {**metrics, "loss": loss}
+
+    return step

@@ -1,0 +1,133 @@
+"""Optimizer + LR schedule registry for the training stages.
+
+Mirrors the reference's ``scripts/train/scheduler.py`` registry (HF scheduler
+names + a custom cosine with ``min_lr_ratio``, ``scheduler.py:18-68,83-128``)
+and the AdamW settings from the train configs, rebuilt on optax.
+
+Parameter-freezing replaces the reference's requires_grad bookkeeping
+(``train.py:190-221``): ``unet_trainable_mask`` reproduces the four selection
+modes ``full | lora | new | ip`` as a boolean pytree consumed by
+``optax.masked`` (frozen leaves get zero updates and no optimizer state).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (scheduler.py:18-128)
+# ---------------------------------------------------------------------------
+def make_lr_schedule(
+    name: str,
+    base_lr: float,
+    num_warmup_steps: int = 0,
+    num_training_steps: Optional[int] = None,
+    min_lr_ratio: float = 0.0,
+    num_cycles: float = 0.5,
+) -> optax.Schedule:
+    def warmup(step):
+        return jnp.minimum(1.0, step / jnp.maximum(num_warmup_steps, 1))
+
+    if name == "constant":
+        return lambda step: jnp.asarray(base_lr)
+    if name == "constant_with_warmup":
+        return lambda step: base_lr * warmup(step)
+    if name == "linear":
+        def sched(step):
+            progress = jnp.clip(
+                (step - num_warmup_steps)
+                / jnp.maximum(num_training_steps - num_warmup_steps, 1),
+                0.0, 1.0)
+            return base_lr * warmup(step) * (1.0 - progress)
+        return sched
+    if name in ("cosine", "cosine_with_min_lr"):
+        # reference custom scheduler: cosine decaying to min_lr_ratio * base
+        # (scheduler.py:18-68); plain "cosine" is min_lr_ratio = 0.
+        floor = min_lr_ratio if name == "cosine_with_min_lr" else 0.0
+        def sched(step):
+            progress = jnp.clip(
+                (step - num_warmup_steps)
+                / jnp.maximum(num_training_steps - num_warmup_steps, 1),
+                0.0, 1.0)
+            cos = 0.5 * (1.0 + jnp.cos(math.pi * 2.0 * num_cycles * progress))
+            return base_lr * warmup(step) * (floor + (1.0 - floor) * cos)
+        return sched
+    raise ValueError(f"unknown lr schedule: {name}")
+
+
+# ---------------------------------------------------------------------------
+# Trainable-parameter selection (train.py:190-221)
+# ---------------------------------------------------------------------------
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return ".".join(parts)
+
+
+def unet_trainable_mask(unet_params: Any, mode: str) -> Any:
+    """Boolean pytree: which UNet params train under each reference mode.
+
+    * ``full`` — everything;
+    * ``new``  — IP projections and the dialog embedding (names containing
+      ``_ip`` or ``dialog``, reference ``train.py:204-206``);
+    * ``ip``   — IP projections only (``:207-209``);
+    * ``lora`` — reserved for LoRA-wrapped params (reference delegates to
+      requires_grad set by peft; here LoRA params live in a separate tree, so
+      the base UNet freezes entirely).
+    """
+    def decide(path, _):
+        name = _path_str(path)
+        if mode == "full":
+            return True
+        if mode == "new":
+            return ("_ip" in name) or ("dialog" in name)
+        if mode == "ip":
+            return "_ip" in name
+        if mode == "lora":
+            return False
+        raise ValueError(f"unknown unet_trained_parameters mode: {mode}")
+
+    return jax.tree_util.tree_map_with_path(decide, unet_params)
+
+
+def make_optimizer(
+    learning_rate: optax.Schedule | float,
+    weight_decay: float = 1e-2,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    max_grad_norm: Optional[float] = 1.0,
+    trainable_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """AdamW (+ global-norm clip) restricted to the trainable subtree.
+
+    Frozen leaves get ``set_to_zero`` via ``multi_transform`` (``optax.masked``
+    would pass their raw gradients through as updates).
+    """
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                             weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        labels = jax.tree.map(lambda t: "train" if t else "freeze",
+                              trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
+
+
+def count_params(tree: Any, mask: Optional[Any] = None) -> int:
+    leaves = jax.tree.leaves(tree)
+    if mask is None:
+        return sum(int(x.size) for x in leaves)
+    flags = jax.tree.leaves(mask)
+    return sum(int(x.size) for x, f in zip(leaves, flags) if f)
