@@ -130,7 +130,7 @@ def make_stage1_step(unet, frozen: FrozenDiffusionStack,
                                    batch["text_input_ids_2"])
         pred = unet_apply(params, noisy, t.astype(jnp.float32), ctx, pooled,
                           _time_ids(batch))
-        loss = losses.diffusion_loss(pred, noise)
+        loss = losses.diffusion_loss(pred, noise, batch.get("sample_mask"))
         return loss, {"loss_diffusion": loss}
 
     def step(state: TrainState, batch, rng):
@@ -228,7 +228,7 @@ def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
                           ip_hidden_states=ip_tokens, ip_attn_bias=biases,
                           ip_scale=1.0, dialog_bbox=batch["dialog_bbox"])
 
-        loss_d = losses.diffusion_loss(pred, noise)
+        loss_d = losses.diffusion_loss(pred, noise, batch.get("sample_mask"))
         loss = loss_d + cfg.ip_contrastive_weight * loss_c
         return loss, {"loss_diffusion": loss_d, "loss_ip_contrastive": loss_c}
 

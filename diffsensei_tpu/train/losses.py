@@ -25,9 +25,17 @@ import jax
 import jax.numpy as jnp
 
 
-def diffusion_loss(noise_pred: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(
-        jnp.square(noise_pred.astype(jnp.float32) - noise.astype(jnp.float32)))
+def diffusion_loss(noise_pred: jnp.ndarray, noise: jnp.ndarray,
+                   sample_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Epsilon MSE; ``sample_mask`` [B] masks padded batch rows (the TPU build
+    pads partial bucket batches with repeats instead of the reference's
+    pseudo-sample filtering, ``dataset_size_bucket.py:303-306``)."""
+    err = jnp.square(noise_pred.astype(jnp.float32) - noise.astype(jnp.float32))
+    if sample_mask is None:
+        return jnp.mean(err)
+    per_sample = err.mean(axis=tuple(range(1, err.ndim)))
+    m = sample_mask.astype(jnp.float32)
+    return jnp.sum(per_sample * m) / jnp.clip(jnp.sum(m), 1.0, None)
 
 
 def mean_multiple_ip_embeds(

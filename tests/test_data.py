@@ -1,0 +1,162 @@
+"""Data subsystem tests on synthetic manga pages (no files, no network)."""
+
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffsensei_tpu.data import geometry, processors
+from diffsensei_tpu.data.bucket_dataset import (
+    BucketDatasetConfig, MangaTrainSizeBucketDataset)
+from diffsensei_tpu.data.loader import PrefetchLoader
+
+
+def _page(w=800, h=1200, color=(200, 180, 160)):
+    return Image.new("RGB", (w, h), color)
+
+
+def _annotations(n_pages=3):
+    anns = []
+    for p in range(n_pages):
+        anns.append({
+            "image": _page(),
+            "image_path": f"page_{p}.jpg",
+            "frames": [
+                {
+                    "bbox": [0, 0, 400, 500],
+                    "caption": "a manga panel",
+                    "characters": [
+                        {"id": 1, "bbox": [10, 10, 120, 200], "type": 0},
+                        {"id": 2, "bbox": [200, 50, 380, 420], "type": 0},
+                    ],
+                    "dialogs": [{"bbox": [30, 20, 150, 90]}],
+                },
+                {
+                    "bbox": [0, 500, 800, 1200],
+                    "caption": "a wide panel",
+                    "characters": [
+                        {"id": 1, "bbox": [100, 600, 280, 1000], "type": 0},
+                    ],
+                    "dialogs": [],
+                },
+            ],
+        })
+    return anns
+
+
+def _tok(caption):
+    ids = np.zeros((77,), np.int32)
+    for i, ch in enumerate(caption[:76]):
+        ids[i] = (ord(ch) % 250) + 1
+    return ids
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    cfg = BucketDatasetConfig(max_num_ips=2, max_num_ip_sources=2,
+                              max_num_dialogs=3, batch_size=4,
+                              t_drop_rate=0.0, i_drop_rate=0.0)
+    return MangaTrainSizeBucketDataset(
+        ann_path=None, image_root="", tokenize=_tok, config=cfg,
+        annotations=_annotations(), rng=random.Random(0))
+
+
+def test_partition_and_len(dataset):
+    assert len(dataset) == 6          # 3 pages x 2 frames
+    assert len(dataset.bucket_keys) >= 1
+    for (bh, bw) in dataset.bucket_keys:
+        assert bh % 8 == 0 and bw % 8 == 0
+
+
+def test_sample_shapes(dataset):
+    key = dataset.bucket_keys[0]
+    s = dataset.get_sample(key, 0)
+    bh, bw = key
+    assert s["pixel_values"].shape == (bh, bw, 3)
+    assert s["pixel_values"].min() >= -1.0 and s["pixel_values"].max() <= 1.0
+    assert s["text_input_ids"].shape == (77,)
+    assert s["ip_pixel_values"].shape == (2, 2, 224, 224, 3)
+    assert s["ip_exists"].shape == (2, 2)
+    assert s["ip_bbox"].shape == (2, 4)
+    assert (s["ip_bbox"] >= 0).all() and (s["ip_bbox"] <= 1).all()
+    assert s["dialog_bbox"].shape == (3, 4)
+
+
+def test_batches_fixed_shapes_with_mask(dataset):
+    seen = {}
+    total_real = 0
+    for batch in dataset.batches(shuffle=True, seed=0):
+        bs = batch["pixel_values"].shape[0]
+        hw = batch["pixel_values"].shape[1:3]
+        # batch size is a pure function of the bucket -> bounded compile keys
+        assert seen.setdefault(hw, bs) == bs
+        assert batch["sample_mask"].shape == (bs,)
+        total_real += int(batch["sample_mask"].sum())
+    assert total_real == len(dataset)
+
+
+def test_bucket_batch_scaling(dataset):
+    # larger size classes shrink batch 4x per class (reference :503)
+    for key in dataset.bucket_keys:
+        idx = dataset.bucket_size_index[key]
+        expected = max(1, round(dataset.cfg.batch_size / 4 ** idx))
+        assert dataset.bucket_batch_size(key) == expected
+
+
+def test_prefetch_loader(dataset):
+    loader = PrefetchLoader(
+        lambda seed: dataset.batches(shuffle=True, seed=seed),
+        num_epochs=2, device_put=lambda x: x)
+    n_one_epoch = sum(1 for _ in dataset.batches(shuffle=False))
+    assert sum(1 for _ in loader) == 2 * n_one_epoch
+
+
+# -- geometry ----------------------------------------------------------------
+def test_resize_and_center_crop_offsets():
+    img = Image.new("RGB", (100, 200))
+    out, (top, left) = geometry.resize_and_center_crop(img, (64, 64))
+    assert out.size == (64, 64)
+    assert left == 0 and top > 0  # tall image crops vertically
+
+
+def test_relative_bbox_roundtrip():
+    frame = [100, 50, 500, 450]
+    char = [150, 100, 300, 400]
+    rel = geometry.get_relative_bbox(frame, char)
+    back = geometry.get_page_bbox_from_rel_bbox(rel, frame)
+    assert back == char
+
+
+def test_sort_manga_panels_rtl():
+    ann = {"frames": [
+        {"bbox": [500, 0, 800, 300]},    # top right
+        {"bbox": [0, 0, 300, 300]},      # top left
+        {"bbox": [500, 400, 800, 700]},  # bottom right
+    ]}
+    ordered = geometry.sort_manga_panels(ann, width=800)
+    # left half first (reference behavior), then right half top-to-bottom
+    assert ordered[0]["bbox"][0] == 0
+    assert ordered[1]["bbox"] == [500, 0, 800, 300]
+    assert ordered[2]["bbox"] == [500, 400, 800, 700]
+
+
+def test_mask_dialogs_whites_out():
+    img = Image.new("RGB", (100, 100), (0, 0, 0))
+    ann = {"frames": [{"dialogs": [{"bbox": [10, 10, 30, 30]}]}]}
+    out = geometry.mask_dialogs_from_image(img, ann)
+    arr = np.asarray(out)
+    assert (arr[15, 15] == 255).all()
+    assert (arr[50, 50] == 0).all()
+
+
+def test_processors_shapes():
+    img = Image.new("RGB", (37, 91), (128, 128, 128))
+    c = processors.clip_preprocess(img)
+    v = processors.vit_preprocess(img)
+    assert c.shape == (224, 224, 3) and v.shape == (224, 224, 3)
+    # gray 0.5 under ViT norm -> ~0
+    np.testing.assert_allclose(v.mean(), 0.0, atol=0.01)
+    # empty crop -> black fallback, no crash
+    assert processors.clip_preprocess(Image.new("RGB", (0, 5))).shape == \
+        (224, 224, 3)
