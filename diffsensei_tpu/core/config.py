@@ -258,10 +258,13 @@ class QwenResamplerConfig:
     embed_dim: int = 5120
     num_heads: int = 32
     kv_dim: Optional[int] = 2048
+    # test hook: non-square query counts (production always grid_size**2 = 64,
+    # which equals max_num_ips * num_vision_tokens)
+    num_queries_override: Optional[int] = None
 
     @property
     def num_queries(self) -> int:
-        return self.grid_size ** 2
+        return self.num_queries_override or self.grid_size ** 2
 
     @classmethod
     def seed_x_input(cls) -> "QwenResamplerConfig":

@@ -86,7 +86,7 @@ class QwenResampler(nn.Module):
         q = nn.LayerNorm(epsilon=1e-5, name="ln_q", **kw)(
             query.astype(self.dtype))
 
-        q = q[None] + pos[None].astype(self.dtype)                 # [1, nq, dim]
+        q = q[None] + _abs_pos(pos, nq)[None].astype(self.dtype)   # [1, nq, dim]
         q = jnp.broadcast_to(q, (b, nq, dim))
         k = x + _abs_pos(pos, s)[None].astype(self.dtype)          # [B, S, dim]
         v = x

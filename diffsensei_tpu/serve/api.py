@@ -1,0 +1,129 @@
+"""Headless serving API: the demos' generation logic without the UI.
+
+The reference's serving layer is two Gradio scripts whose core is
+``result_generation`` (``scripts/demo/gradio.py:60-135`` with the MLLM,
+``scripts/demo/gradio_wo_mllm.py:27-66`` without). This module is that core as
+a library: load character images, optionally run the SEED-X agent to adapt the
+character embeddings to the prompt, blend by ``mllm_scale``, call the pipeline.
+
+Defects of the reference's serving path fixed here (SURVEY.md "known defects"):
+the bare ``except``-as-OOM handler that returns an unbound variable
+(``gradio.py:130-135``), and the crash when no bbox is drawn
+(``gradio.py:140-157``) — empty bbox lists are valid input.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from diffsensei_tpu.data import processors
+from diffsensei_tpu.data.mllm_dataset import (
+    MLLMTokenSpec, build_inference_prompt)
+from diffsensei_tpu.pipelines.pipeline import DiffSenseiPipeline
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    prompt: str = ""
+    height: int = 1024
+    width: int = 1024
+    num_inference_steps: Optional[int] = None
+    guidance_scale: Optional[float] = None
+    negative_prompt: Optional[str] = None
+    num_samples: int = 1
+    seed: int = 0
+    character_images: Sequence[Image.Image] = ()
+    ip_bbox: Sequence[Sequence[float]] = ()
+    dialog_bbox: Sequence[Sequence[float]] = ()
+    ip_scale: Optional[float] = None
+    mllm_scale: Optional[float] = None   # only used when an agent is attached
+    prompt_ids: Optional[dict] = None    # test hook: pre-tokenized prompts
+
+
+class DiffSenseiServer:
+    """Pipeline (+ optional MLLM agent) behind a single ``generate`` call."""
+
+    def __init__(self, pipeline: DiffSenseiPipeline, agent=None,
+                 mllm_spec: Optional[MLLMTokenSpec] = None,
+                 mllm_max_new_tokens: int = 500):
+        self.pipeline = pipeline
+        self.agent = agent
+        self.mllm_spec = mllm_spec
+        self.mllm_max_new_tokens = mllm_max_new_tokens
+
+    def _preprocess_characters(self, images: Sequence[Image.Image]):
+        """Pad with black to max_num_ips; grayscale→RGB like the demo
+        (``gradio.py:174-175``). Returns (clip_pixels, num_valid)."""
+        manga = self.pipeline.m.manga
+        imgs = [im.convert("RGB") for im in images][: manga.max_num_ips]
+        n_valid = len(imgs)
+        while len(imgs) < manga.max_num_ips:
+            imgs.append(Image.new("RGB", (224, 224), (0, 0, 0)))
+        return jnp.asarray(processors.batch_clip(imgs)), n_valid
+
+    def _adapt_with_mllm(self, req: GenerationRequest,
+                         clip_pixels: jnp.ndarray, n_valid: int):
+        """SEED-X character-feature adaptation (``gradio.py:60-109``):
+        encode chars → resampler → agent.generate → blend by mllm_scale."""
+        pipe = self.pipeline
+        m = pipe.m
+        manga = m.manga
+        pos, _ = pipe.prepare_ip_image_embeds(clip_pixels, None, n_valid)
+        char_block = pos[:, manga.num_dummy_tokens:, :]      # [1, I*V, D]
+
+        caption_ids = self.mllm_spec.encode_text(req.prompt)
+        newline = self.mllm_spec.encode_text("\n")
+        prompt = build_inference_prompt(caption_ids, self.mllm_spec, newline)
+        out = self.agent.generate(
+            prompt["input_ids"],
+            image_embeds=char_block,
+            ids_cmp_mask=jnp.asarray(prompt["ids_cmp_mask"]),
+            ladder_ids=self.mllm_spec.ladder_ids,
+            max_new_tokens=self.mllm_max_new_tokens)
+        if out["img_gen_feat"] is None:
+            return None
+        gen = out["img_gen_feat"][:1]                        # [1, I*V, D]
+        scale = (pipe.config.mllm_scale if req.mllm_scale is None
+                 else req.mllm_scale)
+        blended = scale * gen + (1.0 - scale) * char_block   # gradio.py:108-109
+        v = manga.num_vision_tokens
+        return blended.reshape(-1, v, blended.shape[-1])     # per-char blocks
+
+    def generate(self, req: GenerationRequest) -> np.ndarray:
+        """Returns [num_samples, H, W, 3] float32 in [0, 1]."""
+        clip_pixels = None
+        ip_image_embeds = None
+        n_valid = 0
+        if req.character_images:
+            clip_pixels, n_valid = self._preprocess_characters(
+                req.character_images)
+            if self.agent is not None and self.mllm_spec is not None:
+                ip_image_embeds = self._adapt_with_mllm(req, clip_pixels,
+                                                        n_valid)
+
+        images = self.pipeline(
+            req.prompt,
+            height=req.height, width=req.width,
+            num_inference_steps=req.num_inference_steps,
+            guidance_scale=req.guidance_scale,
+            negative_prompt=req.negative_prompt,
+            num_samples=req.num_samples,
+            rng=jax.random.key(req.seed),
+            ip_pixel_values=clip_pixels,
+            ip_image_embeds=ip_image_embeds,
+            ip_bbox=list(req.ip_bbox) or None,
+            ip_scale=req.ip_scale,
+            dialog_bbox=list(req.dialog_bbox) or None,
+            prompt_ids=req.prompt_ids,
+        )
+        return np.asarray(images)
+
+    def generate_pil(self, req: GenerationRequest) -> List[Image.Image]:
+        arr = (self.generate(req) * 255).round().astype(np.uint8)
+        return [Image.fromarray(a) for a in arr]

@@ -57,6 +57,9 @@ class CheckpointManager:
         if extra:
             payload["extra"] = extra
         self._ckpt.save(os.path.join(path, "ckpt"), payload, force=True)
+        # StandardCheckpointer is async; barrier before rotation/return so
+        # the step-N dir is durable when the train loop moves on.
+        self._ckpt.wait_until_finished()
         self._rotate()
         return path
 
@@ -92,7 +95,9 @@ class CheckpointManager:
 
 def export_weights(path: str, params: Any) -> None:
     """Serving artifact: params only (no optimizer state)."""
-    ocp.StandardCheckpointer().save(os.path.abspath(path), params, force=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), params, force=True)
+    ckpt.wait_until_finished()
 
 
 def load_weights(path: str, abstract_params: Any) -> Any:
