@@ -164,6 +164,8 @@ class VisionEncoderConfig:
     hidden_act: str = "gelu"
     use_pre_layernorm: bool = True   # CLIP-style pre-LN stack
     use_class_embedding: bool = True
+    patch_bias: bool = False         # CLIP patchify has no bias; ViTMAE does
+    norm_eps: float = 1e-5           # HF ViTMAE uses 1e-12
 
     @property
     def num_patches(self) -> int:
@@ -182,7 +184,8 @@ class VisionEncoderConfig:
     def magi_vitmae(cls) -> "VisionEncoderConfig":
         # Magi manga-domain ViTMAE-base encoder (CLS feature consumer)
         return cls(patch_size=16, hidden_size=768, num_layers=12, num_heads=12,
-                   intermediate_size=3072, use_pre_layernorm=False)
+                   intermediate_size=3072, use_pre_layernorm=False,
+                   patch_bias=True, norm_eps=1e-12)
 
     @classmethod
     def tiny(cls, patch_size: int = 56) -> "VisionEncoderConfig":

@@ -38,7 +38,7 @@ class ViTLayer(nn.Module):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         dim, heads = cfg.hidden_size, cfg.num_heads
-        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm1", **kw)(x)
+        h = nn.LayerNorm(epsilon=cfg.norm_eps, name="layer_norm1", **kw)(x)
         dense = lambda name: nn.Dense(dim, name=name, **kw)
         q = dense("q_proj")(h).reshape(*h.shape[:2], heads, -1).transpose(0, 2, 1, 3)
         k = dense("k_proj")(h).reshape(*h.shape[:2], heads, -1).transpose(0, 2, 1, 3)
@@ -46,7 +46,7 @@ class ViTLayer(nn.Module):
         o = multi_head_attention(q, k, v)
         x = x + dense("out_proj")(o.transpose(0, 2, 1, 3).reshape(h.shape))
 
-        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2", **kw)(x)
+        h = nn.LayerNorm(epsilon=cfg.norm_eps, name="layer_norm2", **kw)(x)
         h = nn.Dense(cfg.intermediate_size, name="fc1", **kw)(h)
         h = nn.gelu(h)
         h = nn.Dense(dim, name="fc2", **kw)(h)
@@ -73,6 +73,7 @@ class VisionTransformer(nn.Module):
         # pixel_values: [B, H, W, 3] NHWC
         x = nn.Conv(cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                    use_bias=cfg.patch_bias,
                     name="patch_embedding", **kw)(pixel_values.astype(self.dtype))
         x = x.reshape(b, -1, cfg.hidden_size)
         if cfg.use_class_embedding:
@@ -85,12 +86,12 @@ class VisionTransformer(nn.Module):
                          (cfg.seq_len, cfg.hidden_size), self.param_dtype)
         x = x + pos[None].astype(self.dtype)
         if cfg.use_pre_layernorm:
-            x = nn.LayerNorm(epsilon=1e-5, name="pre_layernorm", **kw)(x)
+            x = nn.LayerNorm(epsilon=cfg.norm_eps, name="pre_layernorm", **kw)(x)
 
         penultimate = x
         for i in range(cfg.num_layers):
             penultimate = x
             x = ViTLayer(cfg, name=f"layers_{i}", **kw)(x)
 
-        final = nn.LayerNorm(epsilon=1e-5, name="post_layernorm", **kw)(x)
+        final = nn.LayerNorm(epsilon=cfg.norm_eps, name="post_layernorm", **kw)(x)
         return penultimate, final[:, 0]
