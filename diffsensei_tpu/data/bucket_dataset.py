@@ -51,7 +51,10 @@ class BucketDatasetConfig:
     ip_flip_rate: float = 0.5
     min_ip_height: int = 5
     min_ip_width: int = 5
-    batch_size: int = 8              # base (smallest size class scales down 4x/class)
+    batch_size: int = 8              # PER-DEVICE base (reference semantics);
+    #                                  smallest size class scales down 4x/class
+    data_parallel: int = 1           # mesh data-axis size; global batch =
+    #                                  per-bucket size * data_parallel
 
 
 class MangaTrainSizeBucketDataset:
@@ -229,9 +232,11 @@ class MangaTrainSizeBucketDataset:
 
     # -- batching (reference BucketBatchSampler :488-544) ----------------------
     def bucket_batch_size(self, bucket_key) -> int:
-        """base / 4^size_index (reference formula at :503)."""
+        """per-device base / 4^size_index (reference formula at :503), times
+        the mesh data-axis size so every batch shards evenly."""
         idx = self.bucket_size_index[bucket_key]
-        return max(1, round(self.cfg.batch_size / (2 ** (idx * 2))))
+        per_device = max(1, round(self.cfg.batch_size / (2 ** (idx * 2))))
+        return per_device * self.cfg.data_parallel
 
     def batches(self, shuffle: bool = True,
                 seed: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:

@@ -1,0 +1,252 @@
+"""Training entry point: ``python -m diffsensei_tpu.train.cli --config <yaml>``.
+
+Covers the reference's three launch scripts (``scripts/train/train_t2i.py``,
+``train.py``, ``train_mllm.py``) behind one config-driven CLI; the stage is the
+``stage:`` key. YAML schema mirrors the reference's OmegaConf nesting
+(``configs/train/diffsensei/*.yaml``): ``model / train_data / optimizer /
+lr_scheduler`` groups + trainer flags, with an added ``weights:`` group that
+ports PyTorch checkpoints (diffusers/DiffSensei) at startup.
+
+Distribution: instead of ``accelerate launch --multi_gpu`` (reference
+``README.md:127-149``) the same script runs on every topology — the mesh is
+built from all visible devices and the step is jitted over it (DP over the
+``data`` axis; see ``parallel/mesh.py``). Multi-host: ``jax.distributed.initialize``
+is called automatically when the env declares a coordinator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _maybe_init_distributed():
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def _hash_tokenizer(vocab_size: int = 49408, length: int = 77):
+    """Fallback tokenizer for smoke tests without a CLIP vocab on disk."""
+    def tok(text: str) -> np.ndarray:
+        ids = np.zeros((length,), np.int32)
+        ids[0] = vocab_size - 2                     # bos
+        for i, word in enumerate(text.split()[: length - 2]):
+            ids[i + 1] = (hash(word) % (vocab_size - 3)) + 1
+        ids[min(len(text.split()) + 1, length - 1)] = vocab_size - 1  # eos
+        return ids
+    return tok
+
+
+def _load_tokenizer(path: Optional[str], vocab_size: int):
+    if path:
+        from transformers import CLIPTokenizer
+        tokenizer = CLIPTokenizer.from_pretrained(path)
+        return lambda text: np.asarray(
+            tokenizer(text, padding="max_length", max_length=77,
+                      truncation=True, return_tensors="np").input_ids[0],
+            np.int32)
+    return _hash_tokenizer(vocab_size)
+
+
+def build_models(model_cfg: Dict[str, Any], rng: jax.Array):
+    """Build the diffusion stack from the ``model:`` group."""
+    from diffsensei_tpu.pipelines.pipeline import PipelineModules
+
+    preset = model_cfg.get("preset", "tiny")
+    if preset == "tiny":
+        return PipelineModules.tiny(rng)
+    if preset == "sdxl":
+        raise NotImplementedError(
+            "sdxl preset requires ported weights; pass weights: paths in the "
+            "config (see diffsensei_tpu.utils.port_torch) — random-init SDXL "
+            "training from the CLI is intentionally unsupported")
+    raise ValueError(f"unknown model preset {preset}")
+
+
+def apply_ported_weights(modules, weights_cfg: Dict[str, str]):
+    from diffsensei_tpu.utils import port_torch
+
+    if "unet" in weights_cfg:
+        sd = port_torch.load_torch_file(weights_cfg["unet"])
+        modules.unet_params, _ = port_torch.port_sdxl_unet(
+            sd, modules.unet.config)
+    if "vae" in weights_cfg:
+        sd = port_torch.load_torch_file(weights_cfg["vae"])
+        modules.vae_params = port_torch.port_vae(sd, modules.vae.config)
+    if "text_encoder" in weights_cfg:
+        sd = port_torch.load_torch_file(weights_cfg["text_encoder"])
+        modules.text_encoder_params = port_torch.port_clip_text(
+            sd, modules.text_encoder.config.num_layers)
+    if "text_encoder_2" in weights_cfg:
+        sd = port_torch.load_torch_file(weights_cfg["text_encoder_2"])
+        modules.text_encoder_2_params = port_torch.port_clip_text(
+            sd, modules.text_encoder_2.config.num_layers)
+    if "image_encoder" in weights_cfg:
+        sd = port_torch.load_torch_file(weights_cfg["image_encoder"])
+        modules.image_encoder_params = port_torch.port_clip_vision(
+            sd, modules.image_encoder.config.num_layers)
+    if "magi_encoder" in weights_cfg:
+        sd = port_torch.load_torch_file(weights_cfg["magi_encoder"])
+        modules.magi_encoder_params = port_torch.port_vitmae(
+            sd, modules.magi_encoder.config.num_layers)
+    if "resampler" in weights_cfg:
+        sd = port_torch.load_torch_file(weights_cfg["resampler"])
+        modules.resampler_params = port_torch.port_resampler(
+            port_torch.strip_module_prefix(sd),
+            modules.resampler.config.depth)
+    return modules
+
+
+def main(argv=None):
+    from diffsensei_tpu.core.config import load_yaml_config
+    from diffsensei_tpu.data.bucket_dataset import (
+        BucketDatasetConfig, MangaTrainSizeBucketDataset)
+    from diffsensei_tpu.data.loader import PrefetchLoader
+    from diffsensei_tpu.models.schedulers import DDPMSchedule
+    from diffsensei_tpu.parallel.mesh import (
+        make_mesh, shard_batch, shard_params, unet_param_sharding_rules)
+    from diffsensei_tpu.train.diffusion import (
+        FrozenDiffusionStack, Stage2Config, TrainState, make_stage1_step,
+        make_stage2_step)
+    from diffsensei_tpu.train.optim import (
+        make_lr_schedule, make_optimizer, unet_trainable_mask)
+    from diffsensei_tpu.train.runner import RunConfig, run_training
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--max_train_steps", type=int, default=None)
+    parser.add_argument("--log_dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args(argv)
+
+    _maybe_init_distributed()
+    cfg = load_yaml_config(args.config)
+    stage = cfg.get("stage", "condition")
+    trainer = dict(cfg.get("trainer", {}))
+    if args.max_train_steps is not None:
+        trainer["max_train_steps"] = args.max_train_steps
+    if args.log_dir is not None:
+        trainer["log_dir"] = args.log_dir
+    if args.resume:
+        trainer["resume"] = True
+
+    rng = jax.random.key(int(trainer.get("seed", 0)))
+    modules = build_models(cfg.get("model", {}), rng)
+    modules = apply_ported_weights(modules, cfg.get("weights", {}))
+    manga = modules.manga
+
+    # data ------------------------------------------------------------------
+    mesh = make_mesh()
+    td = dict(cfg.get("train_data", {}))
+    ds_cfg = BucketDatasetConfig(
+        data_parallel=mesh.shape["data"],
+        t_drop_rate=td.get("t_drop_rate", 0.05),
+        i_drop_rate=td.get("i_drop_rate", 0.05),
+        c_drop_rate=td.get("c_drop_rate", 0.05),
+        max_num_ips=manga.max_num_ips,
+        max_num_ip_sources=td.get("max_num_ip_sources", 1),
+        max_num_dialogs=manga.max_num_dialogs,
+        mask_dialog=td.get("mask_dialog", False),
+        ip_self_condition_rate=td.get("ip_self_condition_rate", 0.5),
+        ip_flip_rate=td.get("ip_flip_rate", 0.5),
+        batch_size=td.get("batch_size", 8),
+    )
+    tokenize = _load_tokenizer(td.get("tokenizer_path"),
+                               modules.text_encoder.config.vocab_size)
+    tokenize_2 = _load_tokenizer(td.get("tokenizer_2_path"),
+                                 modules.text_encoder_2.config.vocab_size)
+    dataset = MangaTrainSizeBucketDataset(
+        ann_path=td["ann_path"], image_root=td.get("image_root", ""),
+        tokenize=tokenize, tokenize_2=tokenize_2, config=ds_cfg)
+
+    loader = PrefetchLoader(
+        lambda seed: dataset.batches(shuffle=True, seed=seed),
+        num_epochs=None, device_put=lambda b: shard_batch(b, mesh),
+        seed=int(trainer.get("seed", 0)))
+
+    # frozen stack + step ----------------------------------------------------
+    frozen = FrozenDiffusionStack(
+        vae=modules.vae, vae_params=modules.vae_params,
+        text_encoder=modules.text_encoder,
+        text_encoder_params=modules.text_encoder_params,
+        text_encoder_2=modules.text_encoder_2,
+        text_encoder_2_params=modules.text_encoder_2_params,
+        image_encoder=modules.image_encoder,
+        image_encoder_params=modules.image_encoder_params,
+        magi_encoder=modules.magi_encoder,
+        magi_encoder_params=modules.magi_encoder_params,
+        vae_scaling=modules.vae.config.scaling_factor,
+    )
+    schedule = DDPMSchedule()
+    mcfg = dict(cfg.get("model", {}))
+    opt_cfg = dict(cfg.get("optimizer", {}))
+    lr_cfg = dict(cfg.get("lr_scheduler", {}))
+    lr = make_lr_schedule(
+        lr_cfg.get("name", "constant_with_warmup"),
+        float(opt_cfg.get("lr", 1e-4)),
+        num_warmup_steps=int(lr_cfg.get("num_warmup_steps", 0)),
+        num_training_steps=int(trainer.get("max_train_steps", 1000)),
+        min_lr_ratio=float(lr_cfg.get("min_lr_ratio", 0.0)))
+
+    if stage == "t2i":
+        step_fn = make_stage1_step(modules.unet, frozen, schedule,
+                                   remat_unet=mcfg.get("remat", False))
+        params = modules.unet_params
+        mask = unet_trainable_mask(params,
+                                   mcfg.get("unet_trained_parameters", "full"))
+    elif stage == "condition":
+        s2 = Stage2Config(
+            manga=manga,
+            max_num_sources=ds_cfg.max_num_ip_sources,
+            ip_contrastive=mcfg.get("ip_contrastive_loss"),
+            ip_contrastive_weight=mcfg.get("ip_contrastive_loss_weight", 0.1),
+            remat_unet=mcfg.get("remat", False))
+        step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
+                                   schedule, s2)
+        params = {"unet": modules.unet_params,
+                  "resampler": modules.resampler_params}
+        mask = {"unet": unet_trainable_mask(
+                    modules.unet_params,
+                    mcfg.get("unet_trained_parameters", "new")),
+                "resampler": jax.tree.map(lambda _: True,
+                                          modules.resampler_params)}
+    elif stage == "mllm":
+        raise NotImplementedError(
+            "stage-3 via CLI needs an MLLM dataset + agent weights config; "
+            "use diffsensei_tpu.train.mllm_step.make_stage3_step directly "
+            "(see tests/test_stage3_checkpoint.py for the wiring)")
+    else:
+        raise ValueError(f"unknown stage {stage}")
+
+    import optax
+    tx = make_optimizer(
+        lr, weight_decay=float(opt_cfg.get("weight_decay", 1e-2)),
+        max_grad_norm=opt_cfg.get("max_grad_norm", 1.0),
+        trainable_mask=mask)
+    accum = int(trainer.get("gradient_accumulation_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+
+    params = shard_params(params, mesh, unet_param_sharding_rules())
+    state = TrainState.create(params, tx)
+
+    run_cfg = RunConfig(
+        max_train_steps=int(trainer.get("max_train_steps", 1000)),
+        log_dir=trainer.get("log_dir", "logs/run"),
+        log_every=int(trainer.get("log_every", 50)),
+        checkpoint_every=int(trainer.get("checkpoint_every", 1000)),
+        checkpoints_total_limit=trainer.get("checkpoints_total_limit", 5),
+        seed=int(trainer.get("seed", 0)),
+        resume=bool(trainer.get("resume", False)),
+    )
+    with mesh:
+        run_training(step_fn, state, iter(loader), run_cfg)
+
+
+if __name__ == "__main__":
+    main()

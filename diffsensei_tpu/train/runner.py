@@ -1,0 +1,91 @@
+"""Generic training loop: steps, logging, checkpointing, resume.
+
+The loop shared by the three stage entry points (the reference duplicates it
+across ``train_t2i.py:205-370``, ``train.py:287-499``, ``train_mllm.py:281-493``):
+prefetching loader → jitted step → metric logging → checkpoint rotation →
+resume. Differences from the reference:
+
+* resume restores the FULL train state (optimizer, RNG, step) — the reference
+  reloads weights only and fast-forwards the dataloader
+  (``train_mllm.py:313-316``);
+* gradient accumulation is ``optax.MultiSteps`` wrapped around the optimizer
+  (exact running average, no Python-side accumulation);
+* one compiled program per bucket shape (jit keyed on batch shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from diffsensei_tpu.train.checkpoint import CheckpointManager
+from diffsensei_tpu.train.diffusion import TrainState
+from diffsensei_tpu.utils.observability import (
+    MetricsLogger, StepTimer, device_memory_stats)
+
+
+@dataclasses.dataclass
+class RunConfig:
+    max_train_steps: int
+    log_dir: str
+    log_every: int = 50
+    checkpoint_every: int = 1000
+    checkpoints_total_limit: Optional[int] = 5
+    seed: int = 0
+    resume: bool = False
+    memory_log_every: int = 500
+
+
+def run_training(step_fn: Callable, state: TrainState,
+                 batches: Iterable[Any], cfg: RunConfig,
+                 donate_state: bool = True) -> TrainState:
+    """Drive ``step_fn(state, batch, rng) -> (state, metrics)`` to completion."""
+    jit_step = jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+    ckpt = CheckpointManager(cfg.log_dir, cfg.checkpoints_total_limit)
+    metrics_log = MetricsLogger(cfg.log_dir)
+    timer = StepTimer()
+    rng = jax.random.key(cfg.seed)
+
+    start_step = int(state.step)
+    if cfg.resume:
+        try:
+            abstract = jax.tree.map(np.zeros_like, jax.device_get(state))
+            restored, r_rng, step = ckpt.restore(abstract, with_rng=True)
+            state = jax.tree.map(jax.numpy.asarray, restored)
+            if r_rng is not None:
+                rng = r_rng
+            start_step = step
+            print(f"resumed from step {step}")
+        except FileNotFoundError:
+            pass
+
+    step = start_step
+    for batch in batches:
+        if step >= cfg.max_train_steps:
+            break
+        timer.data_ready()
+        step_rng = jax.random.fold_in(rng, step)
+        state, metrics = jit_step(state, batch, step_rng)
+        if (step + 1) % cfg.log_every == 0 or step + 1 == cfg.max_train_steps:
+            jax.block_until_ready(metrics)
+            timer.step_done()
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars.update(timer.scalars())
+            if (step + 1) % cfg.memory_log_every == 0:
+                scalars.update(device_memory_stats())
+            metrics_log.log(step + 1, scalars)
+        else:
+            timer.step_done()
+        step += 1
+        if step % cfg.checkpoint_every == 0 or step == cfg.max_train_steps:
+            ckpt.save(step, jax.device_get(state), rng=rng)
+
+    if step > start_step and step % cfg.checkpoint_every != 0 \
+            and step != cfg.max_train_steps:
+        ckpt.save(step, jax.device_get(state), rng=rng)
+    metrics_log.close()
+    return state
