@@ -96,7 +96,7 @@ def main() -> None:
     # TTF-panel: first call includes compilation
     t0 = time.perf_counter()
     out = denoise(params, latents0)
-    out.block_until_ready()
+    float(jnp.sum(out))
     ttf_s = time.perf_counter() - t0
 
     # optional VAE decode (fp32); excluded from the denoise timing below,
@@ -115,23 +115,26 @@ def main() -> None:
             return jnp.clip(img / 2 + 0.5, 0, 1)
 
         img = decode(vae_params, out)
-        img.block_until_ready()
+        float(jnp.sum(img))
         t0 = time.perf_counter()
         img = decode(vae_params, out)
-        img.block_until_ready()
+        float(jnp.sum(img))
         vae_s = time.perf_counter() - t0
     except Exception as e:  # noqa: BLE001 — VAE OOM must not kill the bench
         print(f"# vae decode skipped: {type(e).__name__}: {e}")
         decode = None
 
-    # steady state: median of repeated timed panels
+    # steady state: median of repeated timed panels; chain each rep through
+    # the latents and force a host fetch — under the axon tunnel,
+    # block_until_ready alone can return before remote execution finishes.
     times = []
+    lat = jax.random.normal(jax.random.key(10),
+                            (b, lh, lw, cfg.in_channels), jnp.float32)
+    float(jnp.sum(denoise(params, lat)))   # execution barrier
     for rep in range(3):
-        lat = jax.random.normal(jax.random.key(10 + rep),
-                                (b, lh, lw, cfg.in_channels), jnp.float32)
         t0 = time.perf_counter()
-        out = denoise(params, lat)
-        out.block_until_ready()
+        lat = denoise(params, lat * 0.5 + 0.5)
+        float(jnp.sum(lat))
         times.append(time.perf_counter() - t0)
     times.sort()
     denoise_s = times[len(times) // 2]

@@ -168,11 +168,27 @@ class DiffSenseiPipeline:
     """End-to-end manga panel generation (wo-MLLM and MLLM paste-over paths)."""
 
     def __init__(self, modules: PipelineModules,
-                 config: PipelineConfig = PipelineConfig()):
+                 config: PipelineConfig = PipelineConfig(),
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — batched serving shards
+        the CFG batch (2 * num_samples) over the ``data`` axis, the
+        multi-chip bucketed-batch inference mode (BASELINE.md config #5).
+        The reference has no multi-device inference (SURVEY.md §3.1)."""
         self.m = modules
         self.config = config
+        self.mesh = mesh
         self.vae_scaling = self.m.vae.config.scaling_factor
         self.latent_scale = self.m.vae.config.downscale_factor
+
+    def _shard(self, tree, batched_axis0: bool = True):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from diffsensei_tpu.parallel.mesh import DATA_AXIS
+        spec = P(DATA_AXIS) if batched_axis0 else P()
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, spec))
+            if hasattr(x, "shape") and x.ndim > 0 else x, tree)
 
     # -- prompt encoding (reference inherits SDXL encode_prompt, :232-245) ----
     def _tokenize(self, tokenizer, text: str) -> jnp.ndarray:
@@ -356,6 +372,16 @@ class DiffSenseiPipeline:
 
         ctx = jnp.repeat(ctx, num_samples, axis=0)
         pooled = jnp.repeat(pooled, num_samples, axis=0)
+
+        if self.mesh is not None:
+            # batched multi-chip serving: CFG batch over the data axis
+            data = self.mesh.shape["data"]
+            if (2 * num_samples) % data == 0:
+                ctx, pooled, time_ids, ip_tokens, ip_biases, dialog_arr = \
+                    self._shard((ctx, pooled, time_ids, ip_tokens, ip_biases,
+                                 dialog_arr))
+                if num_samples % data == 0:
+                    latents = self._shard(latents)
 
         latents = _denoise(
             m.unet, m.unet_params, sampler, latents, ctx, pooled, time_ids,

@@ -216,10 +216,72 @@ def main(argv=None):
                 "resampler": jax.tree.map(lambda _: True,
                                           modules.resampler_params)}
     elif stage == "mllm":
-        raise NotImplementedError(
-            "stage-3 via CLI needs an MLLM dataset + agent weights config; "
-            "use diffsensei_tpu.train.mllm_step.make_stage3_step directly "
-            "(see tests/test_stage3_checkpoint.py for the wiring)")
+        from diffsensei_tpu.core.config import (
+            AgentConfig, LlamaConfig, QwenResamplerConfig)
+        from diffsensei_tpu.data.mllm_dataset import (
+            MLLMTokenSpec, MangaTrainMLLMDataset)
+        from diffsensei_tpu.models.mllm.peft import lora_trainable_mask
+        from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
+        from diffsensei_tpu.train.mllm_step import (
+            Stage3Config, make_stage3_step)
+
+        agent_cfg = mcfg.get("agent", {})
+        iv = manga.num_ip_tokens
+        if mcfg.get("preset", "tiny") == "tiny":
+            llm = LlamaConfig.tiny()
+            cross = modules.unet.config.cross_attention_dim
+            acfg = AgentConfig(
+                llm=llm,
+                input_resampler=QwenResamplerConfig(
+                    grid_size=2, num_queries_override=iv,
+                    embed_dim=llm.hidden_size, num_heads=4, kv_dim=cross),
+                output_resampler=QwenResamplerConfig(
+                    grid_size=2, num_queries_override=iv,
+                    embed_dim=cross, num_heads=4, kv_dim=llm.hidden_size))
+        else:
+            acfg = AgentConfig()   # SEED-X scale; weights must be ported
+        agent = ContinuousLVLM.build(
+            acfg, jax.random.fold_in(rng, 3),
+            lora_rank=agent_cfg.get("lora_rank", acfg.lora.rank),
+            remat=bool(agent_cfg.get("remat", True)))
+
+        # MLLM token spec: top-of-vocab ladder ids (a ported tokenizer
+        # supplies real ids via train_data.mllm_ladder_ids)
+        vocab = acfg.llm.vocab_size
+        n_img = iv
+        ladder = list(td.get(
+            "mllm_ladder_ids", range(vocab - n_img - 2, vocab)))
+        spec = MLLMTokenSpec(
+            bos_id=td.get("mllm_bos_id", 1),
+            eos_id=td.get("mllm_eos_id", 2),
+            pad_id=td.get("mllm_pad_id", 0),
+            boi_id=ladder[0], eoi_id=ladder[-1], img_ids=ladder[1:-1],
+            encode_text=lambda s: [(hash(w) % (vocab - n_img - 10)) + 3
+                                   for w in s.split()])
+        dataset = MangaTrainMLLMDataset(
+            ann_path=td["ann_path"], image_root=td.get("image_root", ""),
+            tokenize=tokenize, tokenize_2=tokenize_2, config=ds_cfg,
+            mllm_spec=spec,
+            max_token_length=td.get("max_token_length", 400))
+        loader = PrefetchLoader(
+            lambda seed: dataset.batches(shuffle=True, seed=seed),
+            num_epochs=None, device_put=lambda b: shard_batch(b, mesh),
+            seed=int(trainer.get("seed", 0)))
+
+        s3 = Stage3Config(manga=manga,
+                          mllm_loss_weight=mcfg.get("mllm_loss_weight", 1.0),
+                          remat_unet=mcfg.get("remat", False))
+        step_fn = make_stage3_step(
+            modules.unet, modules.unet_params, modules.resampler,
+            modules.resampler_params, agent, frozen, schedule, s3)
+        params = {"llm": agent.llm_params,
+                  "input_resampler": agent.input_resampler_params,
+                  "output_resampler": agent.output_resampler_params}
+        mask = {"llm": lora_trainable_mask(agent.llm_params),
+                "input_resampler": jax.tree.map(
+                    lambda _: True, agent.input_resampler_params),
+                "output_resampler": jax.tree.map(
+                    lambda _: True, agent.output_resampler_params)}
     else:
         raise ValueError(f"unknown stage {stage}")
 

@@ -66,3 +66,16 @@ trainer:
     rec = json.loads(metrics[-1])
     assert rec["step"] == 2
     assert np.isfinite(rec["loss"])
+
+    # stage 3 smoke on the same synthetic data
+    config_mllm = config.replace("stage: condition", "stage: mllm").replace(
+        f"log_dir: {root}/logs", f"log_dir: {root}/logs_mllm").replace(
+        "  ip_contrastive_loss: fast\n", "  mllm_loss_weight: 0.5\n").replace(
+        "  max_num_ip_sources: 1",
+        "  max_num_ip_sources: 1\n  max_token_length: 48")
+    cfg3 = root / "config_mllm.yaml"
+    cfg3.write_text(config_mllm)
+    main(["--config", os.fspath(cfg3)])
+    rec = json.loads((root / "logs_mllm" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["loss_lm"]) and np.isfinite(rec["loss_rec"])
