@@ -23,7 +23,29 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from diffsensei_tpu.ops.groupnorm import groupnorm_silu
+
 Dtype = Any
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm+SiLU through the fused Pallas kernel (``ops/groupnorm.py``);
+    param names match ``nn.GroupNorm`` so ports/checkpoints are unaffected."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        return groupnorm_silu(x.astype(self.dtype), scale, bias,
+                              self.num_groups, self.epsilon)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -83,10 +105,8 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU(self.norm_num_groups, dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
@@ -94,10 +114,8 @@ class ResnetBlock2D(nn.Module):
                          param_dtype=self.param_dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU(self.norm_num_groups, dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
         if in_channels != self.out_channels:
