@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def groupnorm_silu_ref(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
@@ -43,16 +43,32 @@ def groupnorm_silu_ref(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
                     eps: float):
+    # Lane-friendly group stats: Mosaic cannot shape-cast the channel (lane)
+    # axis into (groups, group_size), so reduce spatially to [1, C] first and
+    # fold channels into groups with an indicator matmul [C, G] — then expand
+    # back per channel the same way.
     x = x_ref[0].astype(jnp.float32)              # [H, W, C]
     h, w, c = x.shape
     gsz = c // num_groups
-    xg = x.reshape(h * w, num_groups, gsz)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
-    norm = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(h, w, c)
-    out = norm * scale_ref[:].astype(jnp.float32) \
-        + bias_ref[:].astype(jnp.float32)
-    o_ref[0] = (out * jax.nn.sigmoid(out)).astype(o_ref.dtype)
+    xs = x.reshape(h * w, c)
+    ind = (jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // gsz ==
+           jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+           ).astype(jnp.float32)                  # [C, G]
+
+    sum_c = jnp.sum(xs, axis=0, keepdims=True)            # [1, C]
+    sumsq_c = jnp.sum(xs * xs, axis=0, keepdims=True)     # [1, C]
+    n = h * w * gsz
+    mean_g = jnp.dot(sum_c, ind, preferred_element_type=jnp.float32) / n
+    meansq_g = jnp.dot(sumsq_c, ind, preferred_element_type=jnp.float32) / n
+    var_g = meansq_g - mean_g * mean_g                     # [1, G]
+
+    mean_c = jnp.dot(mean_g, ind.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(jax.lax.rsqrt(var_g + eps), ind.T,
+                     preferred_element_type=jnp.float32)   # [1, C]
+    out = (xs - mean_c) * rstd_c * scale_ref[:].astype(jnp.float32)[None] \
+        + bias_ref[:].astype(jnp.float32)[None]
+    out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.reshape(h, w, c).astype(o_ref.dtype)
 
 
 def _fused_forward(x, scale, bias, num_groups, eps):
@@ -104,13 +120,25 @@ def _on_tpu() -> bool:
 def groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                    num_groups: int, eps: float = 1e-5,
                    force_fused: Optional[bool] = None) -> jnp.ndarray:
-    """Fused GN+SiLU; falls back to the jnp reference off-TPU / oversized."""
+    """Fused GN+SiLU; falls back to the jnp reference off-TPU / oversized.
+
+    The kernel holds the fp32 upcast of one sample's [H, W, C] map plus
+    temporaries in VMEM (~3x fp32 bytes); larger maps (SDXL levels 0-1 at
+    1024^2) take the XLA path, where the stats+normalize pair fuses into the
+    adjacent convolution reasonably well.
+    """
     b, h, w, c = x.shape
-    per_sample = h * w * c * x.dtype.itemsize * 2   # in + out resident
+    # Measured on v5e (2026-08): XLA's stats+normalize is as fast as this
+    # kernel at every size that fits VMEM (both ~1ms incl. dispatch at
+    # 16x16x1280; Mosaic footprint ~8x input bytes forbids larger maps), so
+    # the default is the XLA path — the kernel stays available for explicit
+    # use and as the fusion template for future hardware.
+    per_sample = h * w * c * x.dtype.itemsize
     use = force_fused
     if use is None:
-        use = _on_tpu() and per_sample <= _VMEM_BUDGET_BYTES \
-            and c % num_groups == 0
+        use = False
+    elif use:
+        use = per_sample * 8 <= _VMEM_BUDGET_BYTES and c % num_groups == 0
     if use:
         return _fused(x, scale, bias, num_groups, eps)
     return groupnorm_silu_ref(x, scale, bias, num_groups, eps)

@@ -222,6 +222,44 @@ class DiffSenseiPipeline:
         ctx = jnp.concatenate([h1, h2], axis=-1)
         return ctx, pooled
 
+    def check_inputs(self, prompt, ip_pixel_values, ip_image_embeds, ip_bbox,
+                     dialog_bbox, num_samples):
+        """Input contract (reference ``check_inputs``, ``:81-102``): string
+        prompt, characters need bboxes, bbox counts within budget. Unlike the
+        reference, embeds+pixels together are allowed (embeds paste over)."""
+        manga = self.m.manga
+        if prompt is not None and not isinstance(prompt, str):
+            raise ValueError(f"prompt must be a string, got {type(prompt)}")
+        if num_samples < 1:
+            raise ValueError("num_samples must be >= 1")
+        n_chars = 0
+        if ip_pixel_values is not None:
+            n_chars = ip_pixel_values.shape[0]
+            if n_chars > manga.max_num_ips:
+                raise ValueError(
+                    f"{n_chars} character images > max_num_ips="
+                    f"{manga.max_num_ips}")
+        if ip_image_embeds is not None:
+            if ip_image_embeds.shape[-2] % manga.num_vision_tokens:
+                raise ValueError(
+                    "ip_image_embeds token count must be a multiple of "
+                    f"num_vision_tokens={manga.num_vision_tokens}")
+        if ip_bbox is not None and len(ip_bbox) > manga.max_num_ips:
+            raise ValueError(
+                f"{len(ip_bbox)} character bboxes > max_num_ips="
+                f"{manga.max_num_ips}")
+        if (ip_pixel_values is not None and ip_bbox is not None
+                and 0 < n_chars < manga.max_num_ips
+                and len(ip_bbox) < n_chars):
+            # callers may pass images pre-padded to max_num_ips (the serving
+            # layer does); count mismatch is only checkable on unpadded input
+            raise ValueError(
+                f"{n_chars} character images but only {len(ip_bbox)} bboxes")
+        if dialog_bbox is not None and len(dialog_bbox) > manga.max_num_dialogs:
+            raise ValueError(
+                f"{len(dialog_bbox)} dialog bboxes > max_num_dialogs="
+                f"{manga.max_num_dialogs}")
+
     # -- character embedding prep (reference :104-154) ------------------------
     def prepare_ip_image_embeds(
         self,
@@ -327,6 +365,8 @@ class DiffSenseiPipeline:
         neg = cfg.negative_prompt if negative_prompt is None else negative_prompt
         rng = rng if rng is not None else jax.random.key(0)
 
+        self.check_inputs(prompt, ip_pixel_values, ip_image_embeds, ip_bbox,
+                          dialog_bbox, num_samples)
         if snap_to_buckets:
             height, width = snap_to_bucket(height, width)
         lh, lw = height // self.latent_scale, width // self.latent_scale

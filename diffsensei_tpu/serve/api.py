@@ -107,6 +107,9 @@ class DiffSenseiServer:
                 ip_image_embeds = self._adapt_with_mllm(req, clip_pixels,
                                                         n_valid)
 
+        manga = self.pipeline.m.manga
+        ip_bbox = list(req.ip_bbox)[: manga.max_num_ips] or None
+        dialog_bbox = list(req.dialog_bbox)[: manga.max_num_dialogs] or None
         images = self.pipeline(
             req.prompt,
             height=req.height, width=req.width,
@@ -117,9 +120,9 @@ class DiffSenseiServer:
             rng=jax.random.key(req.seed),
             ip_pixel_values=clip_pixels,
             ip_image_embeds=ip_image_embeds,
-            ip_bbox=list(req.ip_bbox) or None,
+            ip_bbox=ip_bbox,
             ip_scale=req.ip_scale,
-            dialog_bbox=list(req.dialog_bbox) or None,
+            dialog_bbox=dialog_bbox,
             prompt_ids=req.prompt_ids,
         )
         return np.asarray(images)

@@ -1,0 +1,97 @@
+"""Headless generation CLI: panels from the command line, no UI.
+
+The reference's only serving entry points are the two Gradio scripts; this
+adds the headless path the same weights serve through:
+
+  python -m diffsensei_tpu.serve.cli --preset tiny \\
+      --prompt "a young man" --height 512 --width 384 \\
+      --char-image hero.png --ip-bbox 0,0,0.5,1 --out panel.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _parse_bbox(values):
+    boxes = []
+    for v in values or []:
+        parts = [float(p) for p in v.replace(",", " ").split()]
+        if len(parts) == 4:
+            boxes.append(parts)
+    return boxes
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="DiffSensei-TPU generation")
+    parser.add_argument("--preset", default="tiny", choices=["tiny", "sdxl"])
+    parser.add_argument("--weights", default=None,
+                        help="Orbax weights dir (train.checkpoint.export_weights)")
+    parser.add_argument("--prompt", default="")
+    parser.add_argument("--negative-prompt", default=None)
+    parser.add_argument("--height", type=int, default=1024)
+    parser.add_argument("--width", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--guidance", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num-samples", type=int, default=1)
+    parser.add_argument("--char-image", action="append", default=[])
+    parser.add_argument("--ip-bbox", action="append", default=[],
+                        help="x1,y1,x2,y2 relative, one per character")
+    parser.add_argument("--dialog-bbox", action="append", default=[])
+    parser.add_argument("--ip-scale", type=float, default=None)
+    parser.add_argument("--out", default="panel.png")
+    args = parser.parse_args(argv)
+
+    import jax
+    from PIL import Image
+
+    from diffsensei_tpu.pipelines.pipeline import (
+        DiffSenseiPipeline, PipelineModules)
+    from diffsensei_tpu.serve.api import DiffSenseiServer, GenerationRequest
+
+    if args.preset == "sdxl":
+        raise NotImplementedError(
+            "sdxl serving needs ported weights wiring; see "
+            "diffsensei_tpu.utils.port_torch and serve/api.py")
+    modules = PipelineModules.tiny(jax.random.key(0))
+    server = DiffSenseiServer(DiffSenseiPipeline(modules))
+
+    chars = [Image.open(p).convert("RGB") for p in args.char_image]
+    req = GenerationRequest(
+        prompt=args.prompt, negative_prompt=args.negative_prompt,
+        height=args.height, width=args.width,
+        num_inference_steps=args.steps, guidance_scale=args.guidance,
+        num_samples=args.num_samples, seed=args.seed,
+        character_images=chars,
+        ip_bbox=_parse_bbox(args.ip_bbox),
+        dialog_bbox=_parse_bbox(args.dialog_bbox),
+        ip_scale=args.ip_scale,
+    )
+    # tiny preset has no tokenizers: hash the prompt into ids
+    if modules.tokenizer is None:
+        import numpy as np
+        vocab = modules.text_encoder.config.vocab_size
+
+        def hash_ids(text):
+            ids = np.zeros((1, 77), np.int32)
+            for i, w in enumerate(str(text).split()[:75]):
+                ids[0, i + 1] = (hash(w) % (vocab - 3)) + 1
+            return jax.numpy.asarray(ids)
+
+        req.prompt_ids = dict(
+            ids=hash_ids(args.prompt), neg_ids=hash_ids(args.negative_prompt),
+            ids_2=hash_ids(args.prompt),
+            neg_ids_2=hash_ids(args.negative_prompt))
+
+    images = server.generate_pil(req)
+    base, ext = os.path.splitext(args.out)
+    for i, img in enumerate(images):
+        path = args.out if len(images) == 1 else f"{base}_{i}{ext}"
+        img.save(path)
+        print(f"saved {path} ({img.size[0]}x{img.size[1]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,10 @@ class Stage2Config:
     ip_contrastive_weight: float = 0.1
     snr_clip: Optional[float] = None            # reserved (reference: plain MSE)
     remat_unet: bool = False
+    # True: Perceiver Resampler over patch features (released DiffSensei);
+    # False: linear ImageProjDummyModel over pooled features (the
+    # ip_adapter_plus: false path, reference train.py:357-360)
+    ip_adapter_plus: bool = True
 
 
 def _encode_text(frozen: FrozenDiffusionStack, ids, ids_2):
@@ -171,20 +175,31 @@ def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
                                                  batch["ip_pixel_values"].shape[3:])
         magi_crops = batch["magi_pixel_values"].reshape(
             (b * i * s,) + batch["magi_pixel_values"].shape[3:])
-        clip_h, _ = frozen.image_encoder.apply(frozen.image_encoder_params, crops)
+        clip_h, clip_cls = frozen.image_encoder.apply(
+            frozen.image_encoder_params, crops)
         _, magi_cls = frozen.magi_encoder.apply(frozen.magi_encoder_params,
                                                 magi_crops)
         clip_h = jax.lax.stop_gradient(clip_h)
+        clip_cls = jax.lax.stop_gradient(clip_cls)
         magi_cls = jax.lax.stop_gradient(magi_cls)
         # regroup [B,I,S,...] -> sources-major [B*S, I, ...] (train.py:362)
-        p, d_clip = clip_h.shape[-2:]
-        clip_h = clip_h.reshape(b, i, s, p, d_clip).transpose(0, 2, 1, 3, 4)
-        clip_h = clip_h.reshape(b * s, i, p, d_clip)
         magi_cls = magi_cls.reshape(b, i, s, -1).transpose(0, 2, 1, 3)
         magi_cls = magi_cls.reshape(b * s, i, -1)
 
-        # trainable resampler (train.py:369)
-        image_embeds = resampler.apply(params["resampler"], clip_h, magi_cls)
+        if cfg.ip_adapter_plus:
+            # trainable Perceiver resampler over patch features (train.py:369)
+            p, d_clip = clip_h.shape[-2:]
+            clip_h = clip_h.reshape(b, i, s, p, d_clip).transpose(0, 2, 1, 3, 4)
+            clip_h = clip_h.reshape(b * s, i, p, d_clip)
+            image_embeds = resampler.apply(params["resampler"], clip_h,
+                                           magi_cls)
+        else:
+            # linear ImageProjDummyModel over pooled features (the
+            # ip_adapter_plus: false path, train.py:357-360)
+            clip_cls = clip_cls.reshape(b, i, s, -1).transpose(0, 2, 1, 3)
+            clip_cls = clip_cls.reshape(b * s, i, -1)
+            image_embeds = resampler.apply(params["resampler"], clip_cls,
+                                           magi_cls)
 
         # contrastive loss on character blocks (train.py:372-377; the
         # reconstructed component — see losses.ip_contrastive_loss)
