@@ -53,9 +53,6 @@ from diffsensei_tpu.models.vae import AutoencoderKL
 from diffsensei_tpu.models.vision_encoder import VisionTransformer
 from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias
 
-LATENT_SCALE = 8  # VAE downscale factor
-
-
 @dataclasses.dataclass
 class PipelineModules:
     """Model definitions + parameter pytrees for every pipeline stage."""

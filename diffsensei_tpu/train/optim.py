@@ -131,3 +131,11 @@ def count_params(tree: Any, mask: Optional[Any] = None) -> int:
         return sum(int(x.size) for x in leaves)
     flags = jax.tree.leaves(mask)
     return sum(int(x.size) for x, f in zip(leaves, flags) if f)
+
+
+def filter_trainable(params: Any, mask: Any) -> Any:
+    """Trainable-only subtree for weight export — the analogue of the
+    reference's ``get_trained_state_dict`` (``scripts/utils.py:15-21``,
+    requires_grad filter used for stage-2/3 checkpoints). Frozen leaves
+    become None (dropped by Orbax)."""
+    return jax.tree.map(lambda p, m: p if m else None, params, mask)

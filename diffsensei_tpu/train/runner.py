@@ -10,12 +10,15 @@ resume. Differences from the reference:
   (``train_mllm.py:313-316``);
 * gradient accumulation is ``optax.MultiSteps`` wrapped around the optimizer
   (exact running average, no Python-side accumulation);
-* one compiled program per bucket shape (jit keyed on batch shapes).
+* one compiled program per bucket shape (jit keyed on batch shapes);
+* preemption-aware: SIGTERM/SIGINT triggers a final checkpoint before exit
+  (the reference has no failure handling at all, SURVEY.md §5).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import signal
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
@@ -63,9 +66,22 @@ def run_training(step_fn: Callable, state: TrainState,
         except FileNotFoundError:
             pass
 
+    # preemption: checkpoint on SIGTERM/SIGINT, then exit the loop cleanly
+    interrupted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        interrupted["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:   # non-main thread (tests)
+            pass
+
     step = start_step
     for batch in batches:
-        if step >= cfg.max_train_steps:
+        if step >= cfg.max_train_steps or interrupted["flag"]:
             break
         timer.data_ready()
         step_rng = jax.random.fold_in(rng, step)
@@ -87,5 +103,7 @@ def run_training(step_fn: Callable, state: TrainState,
     if step > start_step and step % cfg.checkpoint_every != 0 \
             and step != cfg.max_train_steps:
         ckpt.save(step, jax.device_get(state), rng=rng)
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     metrics_log.close()
     return state

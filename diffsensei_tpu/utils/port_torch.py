@@ -186,12 +186,21 @@ def _port_resnet(sd, base) -> Dict:
     return out
 
 
+def _stack_trees(trees: List[Dict]) -> Dict:
+    """Stack a list of identical param dicts along a new leading (scan) axis."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack(trees)
+
+
 def _port_transformer(sd, base, num_layers) -> Dict:
     out = {
         "norm": norm(sd, base + "norm"),
         "proj_in": linear(sd, base + "proj_in"),
         "proj_out": linear(sd, base + "proj_out"),
     }
+    blocks = []
     for k in range(num_layers):
         tb = f"{base}transformer_blocks.{k}."
         blk = {
@@ -220,7 +229,12 @@ def _port_transformer(sd, base, num_layers) -> Dict:
         if tb + "attn2.to_k_ip.weight" in sd:
             blk["attn2"]["to_k_ip"] = linear(sd, tb + "attn2.to_k_ip")
             blk["attn2"]["to_v_ip"] = linear(sd, tb + "attn2.to_v_ip")
-        out[f"blocks_{k}"] = blk
+        blocks.append(blk)
+    if num_layers == 1:
+        out["blocks_0"] = blocks[0]
+    else:
+        # nn.scan layout: per-block tensors stacked on a leading axis
+        out["blocks"] = _stack_trees(blocks)
     return out
 
 
@@ -357,7 +371,7 @@ def port_ip_adapter(ip_sd: Dict[str, Any], unet_params: Dict,
     cross-attn processor order, ``src/models/utils.py:27-51``) onto ported
     UNet params. Processor order = diffusers ``attn_processors`` iteration:
     down blocks (by level, by attention, by transformer block), mid, up."""
-    order: List[Tuple[str, str]] = []   # (module_name, block_name)
+    order: List[Tuple[str, int, int]] = []   # (module, block_idx, num_layers)
     tl = cfg.transformer_layers_per_block
     n_levels = len(cfg.block_out_channels)
     for level in range(n_levels):
@@ -365,25 +379,42 @@ def port_ip_adapter(ip_sd: Dict[str, Any], unet_params: Dict,
             continue
         for j in range(cfg.layers_per_block):
             for k in range(tl[level]):
-                order.append((f"down_{level}_attn_{j}", f"blocks_{k}"))
+                order.append((f"down_{level}_attn_{j}", k, tl[level]))
     for k in range(cfg.mid_transformer_layers):
-        order.append(("mid_attn", f"blocks_{k}"))
+        order.append(("mid_attn", k, cfg.mid_transformer_layers))
     for rev, level in enumerate(reversed(range(n_levels))):
         if tl[level] == 0:
             continue
         for j in range(cfg.layers_per_block + 1):
             for k in range(tl[level]):
-                order.append((f"up_{rev}_attn_{j}", f"blocks_{k}"))
+                order.append((f"up_{rev}_attn_{j}", k, tl[level]))
 
     p = unet_params["params"]
-    for idx, (mod, blk) in enumerate(order):
+    for idx, (mod, k, n_layers) in enumerate(order):
         kw = f"{idx}.to_k_ip.weight"
         if kw not in ip_sd:
             continue
-        attn = p[mod][blk]["attn2"]
-        attn["to_k_ip"] = {"kernel": _np(ip_sd[kw]).T}
-        attn["to_v_ip"] = {"kernel": _np(ip_sd[f"{idx}.to_v_ip.weight"]).T}
+        _write_ip_proj(p, mod, k, n_layers,
+                       _np(ip_sd[kw]).T,
+                       _np(ip_sd[f"{idx}.to_v_ip.weight"]).T)
     return unet_params
+
+
+def _write_ip_proj(p, mod, k, n_layers, k_kernel, v_kernel):
+    """Write one block's to_k_ip/to_v_ip, handling the scan-stacked layout."""
+    if n_layers == 1:
+        attn = p[mod][f"blocks_{k}"]["attn2"]
+        attn["to_k_ip"] = {"kernel": k_kernel}
+        attn["to_v_ip"] = {"kernel": v_kernel}
+        return
+    attn = p[mod]["blocks"]["attn2"]
+    for name, kern in (("to_k_ip", k_kernel), ("to_v_ip", v_kernel)):
+        if name not in attn:
+            attn[name] = {"kernel": np.zeros((n_layers,) + kern.shape,
+                                             kern.dtype)}
+        stacked = np.asarray(attn[name]["kernel"])
+        stacked[k] = kern
+        attn[name]["kernel"] = stacked
 
 
 def port_diffsensei_ckpt(ckpt: Dict[str, Any], unet_params: Dict,
@@ -402,20 +433,13 @@ def port_sdxl_unet_partial(sd: Dict[str, Any], unet_params: Dict,
     """strict=False overlay: port whatever diffusers-style keys are present in
     ``sd`` on top of existing params (reference ``load_unet``, utils.py:22-25)."""
     applied: List[str] = []
-    full_like = {k: v for k, v in sd.items()}
-    # Build a full dict by reusing port_sdxl_unet on a merged synthetic state
-    # dict is impractical; instead walk known leaf patterns.
     p = unet_params["params"]
-
-    def visit(node, torch_prefixes):
-        pass  # structural overlay handled below via name translation
-
-    # name translation table mirrors port_sdxl_unet; reuse it by exporting the
-    # current params to a synthetic torch naming is overkill — instead port the
-    # subset through the full porter when the subset contains conv_in (full
-    # dict), else only attn2 IP/dialog leaves which have stable names:
+    # Full dicts (contain conv_in) go through the complete porter; partial
+    # stage-2 dicts only carry IP projections + the dialog embedding, whose
+    # diffusers-style names translate directly:
     if "conv_in.weight" in sd:
         return port_sdxl_unet(sd, cfg)
+    tl = cfg.transformer_layers_per_block
     for key, val in sd.items():
         if key == "dialog_bbox_embedding":
             p["dialog_bbox_embedding"] = _np(val)
@@ -424,14 +448,20 @@ def port_sdxl_unet_partial(sd: Dict[str, Any], unet_params: Dict,
             # e.g. down_blocks.1.attentions.0.transformer_blocks.0.attn2.to_k_ip.weight
             parts = key.split(".")
             which = parts[-2]                       # to_k_ip / to_v_ip
-            blk = f"blocks_{parts[parts.index('transformer_blocks') + 1]}"
+            k = int(parts[parts.index("transformer_blocks") + 1])
             if parts[0] == "down_blocks":
                 mod = f"down_{parts[1]}_attn_{parts[3]}"
+                n_layers = tl[int(parts[1])]
             elif parts[0] == "mid_block":
                 mod = "mid_attn"
+                n_layers = cfg.mid_transformer_layers
             else:
                 mod = f"up_{parts[1]}_attn_{parts[3]}"
-            p[mod][blk]["attn2"][which] = {"kernel": _np(val).T}
+                n_layers = tl[len(cfg.block_out_channels) - 1 - int(parts[1])]
+            kern = _np(val).T
+            if which == "to_k_ip":
+                _write_ip_proj(p, mod, k, n_layers, kern,
+                               _np(sd[key.replace("to_k_ip", "to_v_ip")]).T)
             applied.append(key)
     return unet_params, applied
 
