@@ -357,6 +357,83 @@ def port_vae(sd: Dict[str, Any], cfg) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# LLaMA (HF / SEED-X; the reference's xformers fork keeps HF naming)
+# ---------------------------------------------------------------------------
+def _strip_peft(name: str) -> str:
+    """peft-wrapped names → plain HF names; LoRA leaves keep a marker."""
+    name = name.replace("base_model.model.", "")
+    name = name.replace(".base_layer.", ".")
+    return name
+
+
+def port_llama(sd: Dict[str, Any], num_layers: int,
+               prefix: str = "model.") -> Dict:
+    """HF ``LlamaForCausalLM`` (optionally peft-LoRA-wrapped, the reference's
+    stage-3 export) → ``models.mllm.llama.LlamaForCausalLM`` params.
+
+    LoRA adapters (``lora_A/lora_B``) map onto the native ``LoRADense``
+    ``lora_a/lora_b`` params when present.
+    """
+    sd = {_strip_peft(k): v for k, v in sd.items()}
+    p: Dict = {}
+    _set(p, "embed_tokens/embedding", _np(sd[f"{prefix}embed_tokens.weight"]))
+    for i in range(num_layers):
+        base = f"{prefix}layers.{i}."
+        for ours, theirs in (("attn/q_proj", "self_attn.q_proj"),
+                             ("attn/k_proj", "self_attn.k_proj"),
+                             ("attn/v_proj", "self_attn.v_proj"),
+                             ("attn/o_proj", "self_attn.o_proj"),
+                             ("mlp/gate_proj", "mlp.gate_proj"),
+                             ("mlp/up_proj", "mlp.up_proj"),
+                             ("mlp/down_proj", "mlp.down_proj")):
+            _set(p, f"layers_{i}/{ours}/base", linear(sd, base + theirs))
+            la = f"{base}{theirs}.lora_A.default.weight"
+            if la not in sd:
+                la = f"{base}{theirs}.lora_A.weight"
+            if la in sd:
+                lb = la.replace("lora_A", "lora_B")
+                _set(p, f"layers_{i}/{ours}", {
+                    **p_get(p, f"layers_{i}/{ours}"),
+                    "lora_a": _np(sd[la]).T,
+                    "lora_b": _np(sd[lb]).T,
+                })
+        _set(p, f"layers_{i}/input_norm/weight",
+             _np(sd[base + "input_layernorm.weight"]))
+        _set(p, f"layers_{i}/post_norm/weight",
+             _np(sd[base + "post_attention_layernorm.weight"]))
+    _set(p, "norm/weight", _np(sd[f"{prefix}norm.weight"]))
+    _set(p, "lm_head", {"kernel": _np(sd["lm_head.weight"]).T})
+    return {"params": p}
+
+
+def p_get(tree: Dict, path: str) -> Dict:
+    node = tree
+    for k in path.split("/"):
+        node = node.setdefault(k, {})
+    return node
+
+
+def port_qwen_resampler(sd: Dict[str, Any]) -> Dict:
+    """Reference ``QwenResampler`` state dict (torch ``nn.MultiheadAttention``
+    with packed ``in_proj_weight`` [3E, E]) → ``models.mllm.qwen_resampler``.
+    The fixed sin-cos ``pos_embed`` is recomputed, not loaded."""
+    p: Dict = {}
+    p["query"] = _np(sd["query"])
+    if "kv_proj.weight" in sd:
+        _set(p, "kv_proj", {"kernel": _np(sd["kv_proj.weight"]).T})
+    _set(p, "ln_q", norm(sd, "ln_q"))
+    _set(p, "ln_kv", norm(sd, "ln_kv"))
+    w = _np(sd["attn.in_proj_weight"])          # [3E, E]
+    bias = _np(sd["attn.in_proj_bias"])         # [3E]
+    e = w.shape[1]
+    for i, name in enumerate(("q_in_proj", "k_in_proj", "v_in_proj")):
+        _set(p, name, {"kernel": w[i * e:(i + 1) * e].T,
+                       "bias": bias[i * e:(i + 1) * e]})
+    _set(p, "out_proj", linear(sd, "attn.out_proj"))
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
 # DiffSensei checkpoint dicts
 # ---------------------------------------------------------------------------
 def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
