@@ -324,7 +324,10 @@ def _backward(res, g, causal, sm_scale, block_q, block_k):
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)                    # [B,H,Sq,1]
     lse_pad = jnp.broadcast_to(lse, (batch, heads, sq, 1))
-    # pad trailing dim to 128 lanes for clean VMEM tiles
+    # pad trailing dim to 128 lanes for clean VMEM tiles.
+    # TODO(perf): at 64k-token maps this materializes ~1.3GB of zeros; pass
+    # lse/delta as [B, H, S] with a (1, 1, block_q) BlockSpec instead once
+    # Mosaic's 1D->2D relayout cost is measured.
     lse128 = jnp.pad(lse_pad, ((0, 0),) * 3 + ((0, 127),))
     delta128 = jnp.pad(delta, ((0, 0),) * 3 + ((0, 127),))
 
