@@ -13,7 +13,7 @@ test-suite — the reference has no tests, so tiny configs are our substitute fo
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 
 def _freeze(seq):

@@ -20,11 +20,10 @@ import os
 import random
 from typing import Dict, List, Optional
 
-import numpy as np
 from PIL import Image
 
 from diffsensei_tpu.core.buckets import snap_to_bucket
-from diffsensei_tpu.data import geometry, processors
+from diffsensei_tpu.data import geometry
 from diffsensei_tpu.data.mllm_dataset import MLLMTokenSpec, build_inference_prompt
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
 from PIL import Image, ImageDraw, ImageOps
 
 CHARACTER_INDICES = [chr(ord("A") + i) for i in range(26)]

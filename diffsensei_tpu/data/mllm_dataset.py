@@ -26,7 +26,6 @@ the reference this helper exists but the final prompt format doesn't use it
 from __future__ import annotations
 
 import dataclasses
-import random
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np

@@ -15,7 +15,7 @@ All return float32 [H, W, 3] (NHWC, channels last on the 128-lane axis).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -21,7 +21,7 @@ for the SEED-X 13B-class LLM) rebuilt for XLA/Pallas:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ tokens (new rows init from the mean embedding, the HF resize convention).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import numpy as np

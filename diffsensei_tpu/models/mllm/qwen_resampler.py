@@ -14,7 +14,7 @@ Used as SEED-X ``input_resampler`` (64 q, 5120 dim, kv 2048) and
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ agent's ``QwenResampler``.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ control flow, no host round-trips per step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

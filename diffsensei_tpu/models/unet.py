@@ -28,7 +28,7 @@ Layout of the IP context (matches the reference Resampler output,
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,7 +15,7 @@ the bare ``except``-as-OOM handler that returns an unbound variable
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-import numpy as np
 from PIL import Image
 
 from diffsensei_tpu.serve.api import DiffSenseiServer, GenerationRequest

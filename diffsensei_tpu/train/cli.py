@@ -17,7 +17,6 @@ is called automatically when the env declares a coordinator.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 from typing import Any, Dict, Optional
 

@@ -21,7 +21,7 @@ Trainable tree: ``{"llm", "input_resampler", "output_resampler"}``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

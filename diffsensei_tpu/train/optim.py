@@ -13,8 +13,7 @@ modes ``full | lora | new | ip`` as a boolean pytree consumed by
 from __future__ import annotations
 
 import math
-import re
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import signal
-import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Iterable, Optional
 
 import jax
 import numpy as np
