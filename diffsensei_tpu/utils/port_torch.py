@@ -413,6 +413,23 @@ def p_get(tree: Dict, path: str) -> Dict:
     return node
 
 
+def split_agent_ckpt(sd: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
+    """Split a ContinuousLVLM checkpoint (``load_ckpt_mllm``, reference
+    ``src/models/utils.py:68-72``; keys prefixed ``llm.`` /
+    ``input_resampler.`` / ``output_resampler.``) into per-component state
+    dicts for ``port_llama`` / ``port_qwen_resampler``."""
+    sd = strip_module_prefix(sd)
+    groups: Dict[str, Dict[str, Any]] = {
+        "llm": {}, "input_resampler": {}, "output_resampler": {}}
+    for key, value in sd.items():
+        for g in groups:
+            prefix = g + "."
+            if key.startswith(prefix):
+                groups[g][key[len(prefix):]] = value
+                break
+    return groups
+
+
 def port_qwen_resampler(sd: Dict[str, Any]) -> Dict:
     """Reference ``QwenResampler`` state dict (torch ``nn.MultiheadAttention``
     with packed ``in_proj_weight`` [3E, E]) → ``models.mllm.qwen_resampler``.
