@@ -142,22 +142,14 @@ class BasicTransformerBlock(nn.Module):
         return x
 
 
-class _ScanBlock(BasicTransformerBlock):
-    """BasicTransformerBlock with a scan-compatible (carry, out) signature."""
-
-    @nn.compact
-    def __call__(self, x, ctx_text, ctx_ip, ip_bias, ip_scale):
-        return super().__call__(x, ctx_text, ctx_ip, ip_bias, ip_scale), None
-
-
 class Transformer2D(nn.Module):
     """SDXL-style spatial transformer: GroupNorm → linear in → N blocks → linear out.
 
-    The block stack runs under ``nn.scan`` (stacked params, one traced block):
-    SDXL has 70 identical level-2 blocks, so scanning cuts trace/compile size
-    ~10x — compile time is a serving-facing metric here (one program per
-    resolution bucket; TTF-panel includes it). Weight ports stack the
-    per-block torch tensors along the scan axis (``utils/port_torch.py``).
+    Blocks are Python-unrolled, NOT ``nn.scan``-stacked: measured on v5e
+    (2026-08, full SDXL UNet at 1024²), scanning the repeated blocks regressed
+    BOTH steady-state (57→65 ms per UNet forward — scan blocks XLA's
+    cross-block fusion/pipelining) AND compile time (TTF 1163→1568 s), so the
+    unrolled form is strictly better on this hardware.
     """
 
     num_layers: int
@@ -176,19 +168,10 @@ class Transformer2D(nn.Module):
         x = x.reshape(b, h * w, c)
         x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="proj_in")(x)
-        if self.num_layers == 1:
+        for i in range(self.num_layers):
             x = BasicTransformerBlock(self.heads, self.dtype, self.param_dtype,
-                                      name="blocks_0")(
+                                      name=f"blocks_{i}")(
                 x, ctx_text, ctx_ip, ip_bias, ip_scale)
-        else:
-            scanned = nn.scan(
-                _ScanBlock,
-                variable_axes={"params": 0},
-                split_rngs={"params": True},
-                in_axes=(nn.broadcast,) * 4,
-                length=self.num_layers,
-            )(self.heads, self.dtype, self.param_dtype, name="blocks")
-            x, _ = scanned(x, ctx_text, ctx_ip, ip_bias, ip_scale)
         x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="proj_out")(x)
         return x.reshape(b, h, w, c) + residual

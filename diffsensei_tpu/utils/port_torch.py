@@ -186,21 +186,12 @@ def _port_resnet(sd, base) -> Dict:
     return out
 
 
-def _stack_trees(trees: List[Dict]) -> Dict:
-    """Stack a list of identical param dicts along a new leading (scan) axis."""
-    first = trees[0]
-    if isinstance(first, dict):
-        return {k: _stack_trees([t[k] for t in trees]) for k in first}
-    return np.stack(trees)
-
-
 def _port_transformer(sd, base, num_layers) -> Dict:
     out = {
         "norm": norm(sd, base + "norm"),
         "proj_in": linear(sd, base + "proj_in"),
         "proj_out": linear(sd, base + "proj_out"),
     }
-    blocks = []
     for k in range(num_layers):
         tb = f"{base}transformer_blocks.{k}."
         blk = {
@@ -229,12 +220,7 @@ def _port_transformer(sd, base, num_layers) -> Dict:
         if tb + "attn2.to_k_ip.weight" in sd:
             blk["attn2"]["to_k_ip"] = linear(sd, tb + "attn2.to_k_ip")
             blk["attn2"]["to_v_ip"] = linear(sd, tb + "attn2.to_v_ip")
-        blocks.append(blk)
-    if num_layers == 1:
-        out["blocks_0"] = blocks[0]
-    else:
-        # nn.scan layout: per-block tensors stacked on a leading axis
-        out["blocks"] = _stack_trees(blocks)
+        out[f"blocks_{k}"] = blk
     return out
 
 
@@ -495,20 +481,11 @@ def port_ip_adapter(ip_sd: Dict[str, Any], unet_params: Dict,
 
 
 def _write_ip_proj(p, mod, k, n_layers, k_kernel, v_kernel):
-    """Write one block's to_k_ip/to_v_ip, handling the scan-stacked layout."""
-    if n_layers == 1:
-        attn = p[mod][f"blocks_{k}"]["attn2"]
-        attn["to_k_ip"] = {"kernel": k_kernel}
-        attn["to_v_ip"] = {"kernel": v_kernel}
-        return
-    attn = p[mod]["blocks"]["attn2"]
-    for name, kern in (("to_k_ip", k_kernel), ("to_v_ip", v_kernel)):
-        if name not in attn:
-            attn[name] = {"kernel": np.zeros((n_layers,) + kern.shape,
-                                             kern.dtype)}
-        stacked = np.asarray(attn[name]["kernel"])
-        stacked[k] = kern
-        attn[name]["kernel"] = stacked
+    """Write one block's to_k_ip/to_v_ip kernels."""
+    del n_layers
+    attn = p[mod][f"blocks_{k}"]["attn2"]
+    attn["to_k_ip"] = {"kernel": k_kernel}
+    attn["to_v_ip"] = {"kernel": v_kernel}
 
 
 def port_diffsensei_ckpt(ckpt: Dict[str, Any], unet_params: Dict,
