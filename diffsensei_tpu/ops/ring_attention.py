@@ -27,7 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from diffsensei_tpu.ops import flash_attention as fa
+import diffsensei_tpu.ops.flash_attention as fa
 
 
 def _chunk_attention_ref(q, k, v, sm_scale):
