@@ -30,6 +30,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from diffsensei_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from diffsensei_tpu.core.config import UNetConfig, VAEConfig
     from diffsensei_tpu.models.schedulers import make_sampler, scale_model_input
     from diffsensei_tpu.models.schedulers import step as scheduler_step

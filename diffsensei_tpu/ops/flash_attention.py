@@ -450,8 +450,8 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: int = 1024,
+    block_k: int = 2048,
 ) -> jnp.ndarray:
     """Fused attention over [batch, heads, seq, head_dim]; differentiable.
 
@@ -459,9 +459,11 @@ def flash_attention(
     materializing the expansion (the BlockSpec index map pins them to 0). The
     bias gradient is zero (it is a constant bbox mask in this framework).
 
-    Default blocks (512, 1024) measured fastest on v5e across the UNet's
-    spatial shapes (tools/bench_attention.py: 1.8x over 512x512 at 16k
-    tokens); XLA attention OOMs beyond ~16k tokens, flash is mandatory there.
+    Default blocks (1024, 2048) measured fastest on v5e across the UNet's
+    spatial shapes (tools/bench_attention_hot.py: 1.66ms @1k, ~2.8ms @4k,
+    23.9ms @16k tokens for the CFG-batched head counts — 2.1x over the naive
+    512x512 blocking at 16k); XLA attention OOMs beyond ~16k tokens, flash is
+    mandatory there. (1024, 4096) exceeds VMEM in the backward.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5

@@ -47,6 +47,9 @@ def main(argv=None):
     import jax
     from PIL import Image
 
+    from diffsensei_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from diffsensei_tpu.pipelines.pipeline import (
         DiffSenseiPipeline, PipelineModules)
     from diffsensei_tpu.serve.api import DiffSenseiServer, GenerationRequest

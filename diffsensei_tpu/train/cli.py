@@ -124,6 +124,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     _maybe_init_distributed()
+    from diffsensei_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = load_yaml_config(args.config)
     stage = cfg.get("stage", "condition")
     trainer = dict(cfg.get("trainer", {}))
