@@ -1,0 +1,91 @@
+"""Benchmark a stage-2-shaped UNet train step (fwd+bwd) on the real chip.
+
+Measures the gradient computation through the full SDXL manga UNet at 1024²
+(bf16 params+grads, jax.checkpoint rematerialization) — the per-chip kernel of
+multi-chip training. Optimizer state is sharded across the mesh in real runs
+(a single v5e cannot hold fp32 AdamW moments for 2.6B params), so this times
+the compute that dominates a DP step.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from diffsensei_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from diffsensei_tpu.core.config import UNetConfig
+    from diffsensei_tpu.models.unet import UNetMangaModel, attention_levels
+    from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias
+
+    dtype = jnp.bfloat16
+    cfg = UNetConfig.sdxl()
+    manga = cfg.manga
+    unet = UNetMangaModel(cfg, dtype=dtype, param_dtype=dtype)
+    b, lh, lw = 1, 128, 128
+
+    ctx = jnp.zeros((b, 77, cfg.cross_attention_dim), dtype)
+    pooled = jnp.zeros((b, cfg.pooled_projection_dim), dtype)
+    time_ids = jnp.full((b, 6), 1024.0, jnp.float32)
+    ip_tokens = jnp.zeros((b, manga.num_context_image_tokens,
+                           cfg.cross_attention_dim), dtype)
+    bbox = jnp.asarray([[[0., 0., .5, 1.], [.5, 0., 1., 1.],
+                         [0.] * 4, [0.] * 4]], jnp.float32)
+    biases = {
+        level: build_ip_attention_bias(bbox, lh >> level, lw >> level,
+                                       manga.num_vision_tokens,
+                                       manga.num_dummy_tokens, dtype=dtype)
+        for level in attention_levels(cfg)
+    }
+    dialog = jnp.zeros((b, manga.max_num_dialogs, 4), jnp.float32)
+    sample = jnp.zeros((b, lh, lw, cfg.in_channels), dtype)
+    t = jnp.full((b,), 500.0, jnp.float32)
+    target = jnp.ones((b, lh, lw, cfg.out_channels), jnp.float32)
+
+    print("init...", flush=True)
+    params = unet.init(jax.random.key(0), sample, t, ctx, pooled, time_ids,
+                       ip_hidden_states=ip_tokens, ip_attn_bias=biases,
+                       ip_scale=1.0, dialog_bbox=dialog)
+
+    apply_remat = jax.checkpoint(unet.apply)
+
+    def loss_fn(p, x):
+        pred = apply_remat(p, x, t, ctx, pooled, time_ids,
+                           ip_hidden_states=ip_tokens, ip_attn_bias=biases,
+                           ip_scale=1.0, dialog_bbox=dialog)
+        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    t0 = time.perf_counter()
+    loss, grads = grad_fn(params, sample)
+    gsum = sum(jnp.sum(jnp.abs(g).astype(jnp.float32)) for g in
+               jax.tree.leaves(grads))
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s "
+          f"loss={float(loss):.4f} |g|={float(gsum):.3e}", flush=True)
+
+    x = sample
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loss, grads = grad_fn(params, x)
+        # chain: next input depends on grads to force completion
+        x = (x + 0.0 * jnp.mean(list(
+            jax.tree.leaves(grads))[0].astype(jnp.float32))).astype(dtype)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    from diffsensei_tpu.utils.observability import device_memory_stats
+    print(f"train fwd+bwd p50: {times[1]*1000:.1f} ms "
+          f"(batch {b}, 1024^2, bf16, remat)  mem={device_memory_stats()}")
+
+
+if __name__ == "__main__":
+    main()
