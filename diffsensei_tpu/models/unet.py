@@ -200,6 +200,11 @@ class UNetMangaModel(nn.Module):
     config: UNetConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # per-block rematerialization: backward recomputes each resnet/transformer
+    # block instead of stashing its activations — required to fit 1024²
+    # training on one 16 GB chip (outer jax.checkpoint alone does not bound
+    # the backward's peak memory)
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
@@ -209,6 +214,10 @@ class UNetMangaModel(nn.Module):
                  dialog_bbox=None):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ResBlock = nn.remat(ResnetBlock2D) if self.remat_blocks \
+            else ResnetBlock2D
+        TfmBlock = nn.remat(Transformer2D) if self.remat_blocks \
+            else Transformer2D
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -251,10 +260,10 @@ class UNetMangaModel(nn.Module):
             ch = cfg.block_out_channels[level]
             heads = ch // cfg.head_dim
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(ch, cfg.norm_num_groups,
+                x = ResBlock(ch, cfg.norm_num_groups,
                                   name=f"down_{level}_resnet_{j}", **kw)(x, temb)
                 if tlayers[level] > 0:
-                    x = Transformer2D(tlayers[level], heads, cfg.norm_num_groups,
+                    x = TfmBlock(tlayers[level], heads, cfg.norm_num_groups,
                                       name=f"down_{level}_attn_{j}", **kw)(
                         x, *attn_args(level))
                 skips.append(x)
@@ -264,12 +273,12 @@ class UNetMangaModel(nn.Module):
 
         # --- mid block (reference unet.py:279-298)
         mid_ch = cfg.block_out_channels[-1]
-        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups,
+        x = ResBlock(mid_ch, cfg.norm_num_groups,
                           name="mid_resnet_0", **kw)(x, temb)
-        x = Transformer2D(cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
+        x = TfmBlock(cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
                           cfg.norm_num_groups, name="mid_attn", **kw)(
             x, *attn_args(n_levels - 1))
-        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups,
+        x = ResBlock(mid_ch, cfg.norm_num_groups,
                           name="mid_resnet_1", **kw)(x, temb)
 
         # --- up path (reference unet.py:304-332)
@@ -279,10 +288,10 @@ class UNetMangaModel(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock2D(ch, cfg.norm_num_groups,
+                x = ResBlock(ch, cfg.norm_num_groups,
                                   name=f"up_{rev}_resnet_{j}", **kw)(x, temb)
                 if tlayers[level] > 0:
-                    x = Transformer2D(tlayers[level], heads, cfg.norm_num_groups,
+                    x = TfmBlock(tlayers[level], heads, cfg.norm_num_groups,
                                       name=f"up_{rev}_attn_{j}", **kw)(
                         x, *attn_args(level))
             if level > 0:

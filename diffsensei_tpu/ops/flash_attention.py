@@ -315,8 +315,11 @@ def _backward(res, g, causal, sm_scale, block_q, block_k):
     q, k, v, bias, o, lse = res
     batch, heads, sq, d = q.shape
     kv_len = k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, kv_len)
+    # The bwd kernels hold p/dp/ds [bq, bk] fp32 tiles simultaneously — the
+    # forward's (1024, 2048) blocks exceed VMEM here (measured 22.4M > 16M on
+    # v5e); cap the backward at (512, 1024) independently.
+    block_q = min(block_q, 512, sq)
+    block_k = min(block_k, 1024, kv_len)
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(kv_len, block_k)
 

@@ -28,8 +28,11 @@ def main():
     dtype = jnp.bfloat16
     cfg = UNetConfig.sdxl()
     manga = cfg.manga
-    unet = UNetMangaModel(cfg, dtype=dtype, param_dtype=dtype)
-    b, lh, lw = 1, 128, 128
+    # per-block remat: required to fit the 1024^2 backward in 16 GB
+    unet = UNetMangaModel(cfg, dtype=dtype, param_dtype=dtype,
+                          remat_blocks=True)
+    res = int(os.environ.get("BENCH_TRAIN_RES", "1024"))
+    b, lh, lw = 1, res // 8, res // 8
 
     ctx = jnp.zeros((b, 77, cfg.cross_attention_dim), dtype)
     pooled = jnp.zeros((b, cfg.pooled_projection_dim), dtype)
@@ -53,11 +56,11 @@ def main():
     params = unet.init(jax.random.key(0), sample, t, ctx, pooled, time_ids,
                        ip_hidden_states=ip_tokens, ip_attn_bias=biases,
                        ip_scale=1.0, dialog_bbox=dialog)
-
-    apply_remat = jax.checkpoint(unet.apply)
+    from diffsensei_tpu.utils.observability import device_memory_stats
+    print("after init:", device_memory_stats(), flush=True)
 
     def loss_fn(p, x):
-        pred = apply_remat(p, x, t, ctx, pooled, time_ids,
+        pred = unet.apply(p, x, t, ctx, pooled, time_ids,
                            ip_hidden_states=ip_tokens, ip_attn_bias=biases,
                            ip_scale=1.0, dialog_bbox=dialog)
         return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
@@ -82,9 +85,8 @@ def main():
         float(loss)
         times.append(time.perf_counter() - t0)
     times.sort()
-    from diffsensei_tpu.utils.observability import device_memory_stats
     print(f"train fwd+bwd p50: {times[1]*1000:.1f} ms "
-          f"(batch {b}, 1024^2, bf16, remat)  mem={device_memory_stats()}")
+          f"(batch {b}, {res}^2, bf16, remat)  mem={device_memory_stats()}")
 
 
 if __name__ == "__main__":
