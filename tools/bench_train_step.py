@@ -69,19 +69,23 @@ def main():
 
     t0 = time.perf_counter()
     loss, grads = grad_fn(params, sample)
-    gsum = sum(jnp.sum(jnp.abs(g).astype(jnp.float32)) for g in
-               jax.tree.leaves(grads))
+    # reduce leaf-by-leaf: a whole-tree abs() would transiently double the
+    # 5.2 GB gradient allocation and OOM next to params+grads
+    gsum = 0.0
+    for g in jax.tree.leaves(grads):
+        gsum += float(jnp.sum(jnp.abs(g).astype(jnp.float32)))
     print(f"compile+first: {time.perf_counter()-t0:.1f}s "
-          f"loss={float(loss):.4f} |g|={float(gsum):.3e}", flush=True)
+          f"loss={float(loss):.4f} |g|={gsum:.3e}", flush=True)
 
     x = sample
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         loss, grads = grad_fn(params, x)
-        # chain: next input depends on grads to force completion
-        x = (x + 0.0 * jnp.mean(list(
-            jax.tree.leaves(grads))[0].astype(jnp.float32))).astype(dtype)
+        # chain on one grad leaf to force completion without extra allocs
+        leaf = jax.tree.leaves(grads)[0]
+        x = (x + 0.0 * jnp.mean(leaf.astype(jnp.float32))).astype(dtype)
+        del grads
         float(loss)
         times.append(time.perf_counter() - t0)
     times.sort()
