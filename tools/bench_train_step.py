@@ -76,6 +76,7 @@ def main():
         gsum += float(jnp.sum(jnp.abs(g).astype(jnp.float32)))
     print(f"compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={float(loss):.4f} |g|={gsum:.3e}", flush=True)
+    del grads   # keep only one 5.2 GB gradient tree alive at a time
 
     x = sample
     times = []
