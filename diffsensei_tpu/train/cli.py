@@ -201,21 +201,32 @@ def main(argv=None):
         mask = unet_trainable_mask(params,
                                    mcfg.get("unet_trained_parameters", "full"))
     elif stage == "condition":
+        from diffsensei_tpu.train.optim import partition_params
+
         s2 = Stage2Config(
             manga=manga,
             max_num_sources=ds_cfg.max_num_ip_sources,
             ip_contrastive=mcfg.get("ip_contrastive_loss"),
             ip_contrastive_weight=mcfg.get("ip_contrastive_loss_weight", 0.1),
             remat_unet=mcfg.get("remat", False))
-        step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
-                                   schedule, s2)
-        params = {"unet": modules.unet_params,
-                  "resampler": modules.resampler_params}
-        mask = {"unet": unet_trainable_mask(
-                    modules.unet_params,
-                    mcfg.get("unet_trained_parameters", "new")),
-                "resampler": jax.tree.map(lambda _: True,
-                                          modules.resampler_params)}
+        mode = mcfg.get("unet_trained_parameters", "new")
+        if mode == "full":
+            step_fn = make_stage2_step(modules.unet, modules.resampler,
+                                       frozen, schedule, s2)
+            params = {"unet": modules.unet_params,
+                      "resampler": modules.resampler_params}
+            mask = None
+        else:
+            # partitioned training: gradients/optimizer state only for the
+            # trainable subtree (no optax masking needed)
+            umask = unet_trainable_mask(modules.unet_params, mode)
+            t_flat, f_flat = partition_params(modules.unet_params, umask)
+            step_fn = make_stage2_step(modules.unet, modules.resampler,
+                                       frozen, schedule, s2,
+                                       frozen_unet_flat=f_flat)
+            params = {"unet": t_flat,
+                      "resampler": modules.resampler_params}
+            mask = None
     elif stage == "mllm":
         from diffsensei_tpu.core.config import (
             AgentConfig, LlamaConfig, QwenResamplerConfig)
