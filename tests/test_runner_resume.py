@@ -1,0 +1,65 @@
+"""run_training resume: exact continuation from the latest checkpoint."""
+
+import itertools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsensei_tpu.train.diffusion import TrainState
+from diffsensei_tpu.train.optim import make_optimizer
+from diffsensei_tpu.train.runner import RunConfig, run_training
+
+
+def _step_fn(state, batch, rng):
+    def loss_fn(p):
+        return jnp.mean(jnp.square(p["w"] @ batch["x"] - batch["y"]))
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return state.apply_gradients(grads), {"loss": loss}
+
+
+def _batches():
+    rng = np.random.default_rng(0)
+    while True:
+        yield {"x": jnp.asarray(rng.normal(size=(4, 4)), jnp.float32),
+               "y": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32)}
+
+
+def test_resume_continues_exactly(tmp_path):
+    log_dir = os.fspath(tmp_path / "run")
+    params = {"w": jnp.ones((3, 4), jnp.float32)}
+    tx = make_optimizer(1e-2)
+
+    # uninterrupted 4-step run
+    state_full = run_training(
+        _step_fn, TrainState.create(params, tx),
+        itertools.islice(_batches(), 8),
+        RunConfig(max_train_steps=4, log_dir=os.fspath(tmp_path / "full"),
+                  log_every=1, checkpoint_every=10),
+        donate_state=False)
+
+    # 2 steps, checkpoint, then resume for 2 more — batches replay identically
+    run_training(
+        _step_fn, TrainState.create(params, tx),
+        itertools.islice(_batches(), 8),
+        RunConfig(max_train_steps=2, log_dir=log_dir, log_every=1,
+                  checkpoint_every=2),
+        donate_state=False)
+    # resume: feed the stream with the first 2 batches already consumed
+    stream = _batches()
+    for _ in range(2):
+        next(stream)
+    state_resumed = run_training(
+        _step_fn, TrainState.create(params, tx),
+        itertools.islice(stream, 8),
+        RunConfig(max_train_steps=4, log_dir=log_dir, log_every=1,
+                  checkpoint_every=2, resume=True),
+        donate_state=False)
+
+    assert int(state_resumed.step) == 4
+    np.testing.assert_allclose(np.asarray(state_resumed.params["w"]),
+                               np.asarray(state_full.params["w"]),
+                               rtol=1e-6, atol=1e-6)
+    # both checkpoints exist (step-2 rotated away only if limit exceeded)
+    assert os.path.isdir(os.path.join(log_dir, "step-4"))
