@@ -21,9 +21,11 @@ from __future__ import annotations
 import json
 import time
 
-A100_REF_PANELS_PER_SEC = 0.105
+import os as _os
+
+A100_REF_PANELS_PER_SEC = 0.105  # at 1024^2; vs_baseline reported there only
 STEPS = 20
-HEIGHT = WIDTH = 1024
+HEIGHT = WIDTH = int(_os.environ.get("BENCH_RES", "1024"))
 
 
 def main() -> None:
@@ -180,8 +182,9 @@ def main() -> None:
     print(json.dumps({
         "metric": "panels_per_sec_per_chip",
         "value": round(panels_per_sec, 4),
-        "unit": "panels/s (SDXL 1024^2, 20 steps, CFG, masked-IP+dialog)",
-        "vs_baseline": round(panels_per_sec / A100_REF_PANELS_PER_SEC, 3),
+        "unit": f"panels/s (SDXL {HEIGHT}^2, 20 steps, CFG, masked-IP+dialog)",
+        "vs_baseline": (round(panels_per_sec / A100_REF_PANELS_PER_SEC, 3)
+                        if HEIGHT == 1024 else None),
         "p50_unet_step_ms": round(step_ms / 2, 2),  # per UNet fwd (CFG=2/step)
         "p50_denoise_step_ms": round(step_ms, 2),
         "ttf_panel_s": round(ttf_s, 2),
