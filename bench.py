@@ -126,9 +126,15 @@ def main() -> None:
             lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3)), jax.random.key(1))
         )(jax.random.key(4))
 
+        from diffsensei_tpu.models.vae import tiled_decode
+
         @jax.jit
         def decode(vp, z):
-            img = vae.apply(vp, z / 0.13025, method=vae.decode)
+            zz = z / 0.13025
+            if zz.shape[1] > 128 or zz.shape[2] > 128:
+                img = tiled_decode(vae, vp, zz)   # >1024px: HBM-bounded tiles
+            else:
+                img = vae.apply(vp, zz, method=vae.decode)
             return jnp.clip(img / 2 + 0.5, 0, 1)
 
         img = decode(vae_params, out)

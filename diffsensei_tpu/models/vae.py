@@ -153,3 +153,62 @@ def sample_latent(mean: jnp.ndarray, logvar: jnp.ndarray, rng: jax.Array,
     """Reparameterized latent sample scaled for the diffusion space."""
     z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape, mean.dtype)
     return z * scaling_factor
+
+
+def tiled_decode(vae: AutoencoderKL, params, z: jnp.ndarray,
+                 tile: int = 96, overlap: int = 24,
+                 decode_fn=None) -> jnp.ndarray:
+    """Decode in overlapping latent tiles with linear blending.
+
+    The fp32 decoder at 2048² panels (256² latents) exceeds single-chip HBM
+    (activations reach 2048·2048·512 fp32 per map); tiling bounds peak memory
+    to one (tile+overlap)² decode. Seams are suppressed by decoding with
+    ``overlap`` latent pixels of context and ramp-blending the overlapped
+    pixel regions (the same approximation diffusers' ``enable_vae_tiling``
+    makes — GroupNorm stats become per-tile).
+
+    z: [B, H, W, C] latents (already divided by the scaling factor).
+    ``decode_fn`` (test hook) overrides the per-tile decoder.
+    """
+    if decode_fn is None:
+        decode_fn = lambda zt: vae.apply(params, zt, method=vae.decode)
+    b, h, w, c = z.shape
+    if h <= tile and w <= tile:
+        return decode_fn(z)
+    f = vae.config.downscale_factor
+    stride = tile - overlap
+    out = None
+    weight = None
+
+    ys = list(range(0, max(h - overlap, 1), stride))
+    xs = list(range(0, max(w - overlap, 1), stride))
+
+    def ramp(length, start_edge, end_edge, total, offset):
+        """Per-pixel blend weight with linear ramps on interior edges."""
+        r = jnp.ones((length,), jnp.float32)
+        ov_px = overlap * f
+        if start_edge > 0:
+            ramp_up = jnp.linspace(0.0, 1.0, ov_px, endpoint=False)
+            r = r.at[:ov_px].set(ramp_up)
+        if offset + length < total:
+            ramp_dn = jnp.linspace(1.0, 0.0, ov_px, endpoint=False)
+            r = r.at[-ov_px:].set(r[-ov_px:] * ramp_dn)
+        return r
+
+    out = jnp.zeros((b, h * f, w * f, vae.config.out_channels), jnp.float32)
+    weight = jnp.zeros((1, h * f, w * f, 1), jnp.float32)
+    for y0 in ys:
+        y0 = min(y0, h - tile) if h > tile else 0
+        for x0 in xs:
+            x0 = min(x0, w - tile) if w > tile else 0
+            zt = z[:, y0:y0 + tile, x0:x0 + tile]
+            img = decode_fn(zt)
+            th, tw = img.shape[1], img.shape[2]
+            wy = ramp(th, y0, y0 + tile, h * f, y0 * f)
+            wx = ramp(tw, x0, x0 + tile, w * f, x0 * f)
+            wmask = (wy[:, None] * wx[None, :])[None, :, :, None]
+            out = out.at[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw].add(
+                img.astype(jnp.float32) * wmask)
+            weight = weight.at[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw].add(
+                wmask)
+    return out / jnp.clip(weight, 1e-6, None)

@@ -156,8 +156,16 @@ def _denoise(unet: UNetMangaModel, unet_params, sampler: SamplerState,
 
 @functools.partial(jax.jit, static_argnames=("vae",))
 def _decode(vae: AutoencoderKL, vae_params, latents, scaling_factor):
+    from diffsensei_tpu.models.vae import tiled_decode
+
     z = latents.astype(jnp.float32) / scaling_factor
-    img = vae.apply(vae_params, z, method=vae.decode)
+    if z.shape[1] > 128 or z.shape[2] > 128:
+        # >1024px panels: fp32 decoder activations exceed single-chip HBM;
+        # decode in overlapping tiles (shapes are static, so this branch is
+        # resolved at trace time)
+        img = tiled_decode(vae, vae_params, z)
+    else:
+        img = vae.apply(vae_params, z, method=vae.decode)
     return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
 
