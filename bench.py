@@ -128,14 +128,16 @@ def main() -> None:
 
         from diffsensei_tpu.models.vae import tiled_decode
 
-        @jax.jit
-        def decode(vp, z):
-            zz = z / 0.13025
-            if zz.shape[1] > 128 or zz.shape[2] > 128:
-                img = tiled_decode(vae, vp, zz)   # >1024px: HBM-bounded tiles
-            else:
-                img = vae.apply(vp, zz, method=vae.decode)
-            return jnp.clip(img / 2 + 0.5, 0, 1)
+        if lh > 128 or lw > 128:
+            # >1024px: host-looped tiled decode (one tile resident at a time)
+            def decode(vp, z):
+                img = tiled_decode(vae, vp, z / 0.13025)
+                return jnp.clip(img / 2 + 0.5, 0, 1)
+        else:
+            @jax.jit
+            def decode(vp, z):
+                img = vae.apply(vp, z / 0.13025, method=vae.decode)
+                return jnp.clip(img / 2 + 0.5, 0, 1)
 
         img = decode(vae_params, out)
         float(jnp.sum(img))

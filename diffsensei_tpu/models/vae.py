@@ -169,46 +169,50 @@ def tiled_decode(vae: AutoencoderKL, params, z: jnp.ndarray,
 
     z: [B, H, W, C] latents (already divided by the scaling factor).
     ``decode_fn`` (test hook) overrides the per-tile decoder.
+
+    This is a HOST-level loop (do not wrap in jit): compiling all tiles into
+    one program lets XLA's scheduler interleave the data-independent tile
+    decodes, which multiplies peak memory by the tile count (measured OOM at
+    2048²). Per-tile decodes share one jit cache entry (same shapes); blended
+    accumulation happens on the host in NumPy.
     """
+    import numpy as np
+
     if decode_fn is None:
-        decode_fn = lambda zt: vae.apply(params, zt, method=vae.decode)
+        decode_fn = jax.jit(lambda zt: vae.apply(params, zt,
+                                                 method=vae.decode))
     b, h, w, c = z.shape
     if h <= tile and w <= tile:
         return decode_fn(z)
     f = vae.config.downscale_factor
     stride = tile - overlap
-    out = None
-    weight = None
 
     ys = list(range(0, max(h - overlap, 1), stride))
     xs = list(range(0, max(w - overlap, 1), stride))
 
-    def ramp(length, start_edge, end_edge, total, offset):
+    def ramp(length, start_px, total_px):
         """Per-pixel blend weight with linear ramps on interior edges."""
-        r = jnp.ones((length,), jnp.float32)
+        r = np.ones((length,), np.float32)
         ov_px = overlap * f
-        if start_edge > 0:
-            ramp_up = jnp.linspace(0.0, 1.0, ov_px, endpoint=False)
-            r = r.at[:ov_px].set(ramp_up)
-        if offset + length < total:
-            ramp_dn = jnp.linspace(1.0, 0.0, ov_px, endpoint=False)
-            r = r.at[-ov_px:].set(r[-ov_px:] * ramp_dn)
+        if start_px > 0:
+            r[:ov_px] = np.linspace(0.0, 1.0, ov_px, endpoint=False)
+        if start_px + length < total_px:
+            r[-ov_px:] = r[-ov_px:] * np.linspace(1.0, 0.0, ov_px,
+                                                  endpoint=False)
         return r
 
-    out = jnp.zeros((b, h * f, w * f, vae.config.out_channels), jnp.float32)
-    weight = jnp.zeros((1, h * f, w * f, 1), jnp.float32)
+    out = np.zeros((b, h * f, w * f, vae.config.out_channels), np.float32)
+    weight = np.zeros((1, h * f, w * f, 1), np.float32)
     for y0 in ys:
         y0 = min(y0, h - tile) if h > tile else 0
         for x0 in xs:
             x0 = min(x0, w - tile) if w > tile else 0
             zt = z[:, y0:y0 + tile, x0:x0 + tile]
-            img = decode_fn(zt)
+            img = np.asarray(decode_fn(zt), np.float32)
             th, tw = img.shape[1], img.shape[2]
-            wy = ramp(th, y0, y0 + tile, h * f, y0 * f)
-            wx = ramp(tw, x0, x0 + tile, w * f, x0 * f)
+            wy = ramp(th, y0 * f, h * f)
+            wx = ramp(tw, x0 * f, w * f)
             wmask = (wy[:, None] * wx[None, :])[None, :, :, None]
-            out = out.at[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw].add(
-                img.astype(jnp.float32) * wmask)
-            weight = weight.at[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw].add(
-                wmask)
-    return out / jnp.clip(weight, 1e-6, None)
+            out[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw] += img * wmask
+            weight[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw] += wmask
+    return jnp.asarray(out / np.clip(weight, 1e-6, None))

@@ -156,17 +156,21 @@ def _denoise(unet: UNetMangaModel, unet_params, sampler: SamplerState,
 
 @functools.partial(jax.jit, static_argnames=("vae",))
 def _decode(vae: AutoencoderKL, vae_params, latents, scaling_factor):
-    from diffsensei_tpu.models.vae import tiled_decode
-
     z = latents.astype(jnp.float32) / scaling_factor
-    if z.shape[1] > 128 or z.shape[2] > 128:
-        # >1024px panels: fp32 decoder activations exceed single-chip HBM;
-        # decode in overlapping tiles (shapes are static, so this branch is
-        # resolved at trace time)
-        img = tiled_decode(vae, vae_params, z)
-    else:
-        img = vae.apply(vae_params, z, method=vae.decode)
+    img = vae.apply(vae_params, z, method=vae.decode)
     return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+
+def _decode_any(vae: AutoencoderKL, vae_params, latents, scaling_factor):
+    """fp32 decode; >1024px panels go through the HOST-looped tiled decoder
+    (one tile resident at a time — see models/vae.tiled_decode)."""
+    if latents.shape[1] > 128 or latents.shape[2] > 128:
+        from diffsensei_tpu.models.vae import tiled_decode
+
+        z = latents.astype(jnp.float32) / scaling_factor
+        img = tiled_decode(vae, vae_params, z)
+        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+    return _decode(vae, vae_params, latents, scaling_factor)
 
 
 class DiffSenseiPipeline:
@@ -436,5 +440,5 @@ class DiffSenseiPipeline:
 
         if return_latents:
             return latents
-        return _decode(m.vae, m.vae_params, latents,
-                       jnp.asarray(self.vae_scaling, jnp.float32))
+        return _decode_any(m.vae, m.vae_params, latents,
+                           jnp.asarray(self.vae_scaling, jnp.float32))
