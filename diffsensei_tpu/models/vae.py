@@ -155,6 +155,22 @@ def sample_latent(mean: jnp.ndarray, logvar: jnp.ndarray, rng: jax.Array,
     return z * scaling_factor
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _cached_tiled_fn(vae: "AutoencoderKL", b: int, h: int, w: int, c: int,
+                     tile: int, overlap: int):
+    """One jitted tiled-decode program per (module, latent shape) key."""
+    def fn(params, z):
+        return tiled_decode(vae, params, z, tile=tile, overlap=overlap,
+                            decode_fn=_DIRECT)
+    return jax.jit(fn)
+
+
+_DIRECT = object()   # sentinel: use vae.decode inside the cached jit
+
+
 def tiled_decode(vae: AutoencoderKL, params, z: jnp.ndarray,
                  tile: int = 96, overlap: int = 24,
                  decode_fn=None) -> jnp.ndarray:
@@ -170,28 +186,32 @@ def tiled_decode(vae: AutoencoderKL, params, z: jnp.ndarray,
     z: [B, H, W, C] latents (already divided by the scaling factor).
     ``decode_fn`` (test hook) overrides the per-tile decoder.
 
-    This is a HOST-level loop (do not wrap in jit): compiling all tiles into
-    one program lets XLA's scheduler interleave the data-independent tile
-    decodes, which multiplies peak memory by the tile count (measured OOM at
-    2048²). Per-tile decodes share one jit cache entry (same shapes); blended
-    accumulation happens on the host in NumPy.
+    Memory/scheduling shape (both variants were measured on v5e):
+    * one jit with INDEPENDENT tile decodes → XLA interleaves them all →
+      tile-count × peak memory → OOM;
+    * a host loop with per-tile dispatch → ~3 s/tile of tunnel round-trips.
+    So: one jit, with each tile's input carrying a fake scalar dependency on
+    the previous tile's output — forces sequential scheduling (one decode
+    resident) while accumulation stays on-device.
     """
     import numpy as np
 
-    if decode_fn is None:
-        decode_fn = jax.jit(lambda zt: vae.apply(params, zt,
-                                                 method=vae.decode))
     b, h, w, c = z.shape
     if h <= tile and w <= tile:
+        if decode_fn is None or decode_fn is _DIRECT:
+            return vae.apply(params, z, method=vae.decode)
         return decode_fn(z)
     f = vae.config.downscale_factor
     stride = tile - overlap
 
-    ys = list(range(0, max(h - overlap, 1), stride))
-    xs = list(range(0, max(w - overlap, 1), stride))
+    plan = []
+    for y0 in range(0, max(h - overlap, 1), stride):
+        y0 = min(y0, h - tile) if h > tile else 0
+        for x0 in range(0, max(w - overlap, 1), stride):
+            x0 = min(x0, w - tile) if w > tile else 0
+            plan.append((y0, x0))
 
     def ramp(length, start_px, total_px):
-        """Per-pixel blend weight with linear ramps on interior edges."""
         r = np.ones((length,), np.float32)
         ov_px = overlap * f
         if start_px > 0:
@@ -201,18 +221,36 @@ def tiled_decode(vae: AutoencoderKL, params, z: jnp.ndarray,
                                                   endpoint=False)
         return r
 
-    out = np.zeros((b, h * f, w * f, vae.config.out_channels), np.float32)
+    th, tw = tile * f, tile * f
     weight = np.zeros((1, h * f, w * f, 1), np.float32)
-    for y0 in ys:
-        y0 = min(y0, h - tile) if h > tile else 0
-        for x0 in xs:
-            x0 = min(x0, w - tile) if w > tile else 0
+    masks = {}
+    for (y0, x0) in plan:
+        wy = ramp(th, y0 * f, h * f)
+        wx = ramp(tw, x0 * f, w * f)
+        m = (wy[:, None] * wx[None, :])[None, :, :, None]
+        masks[(y0, x0)] = m
+        weight[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw] += m
+    inv_weight = jnp.asarray(1.0 / np.clip(weight, 1e-6, None))
+
+    def decode_all(params, z, inner):
+        out = jnp.zeros((b, h * f, w * f, vae.config.out_channels),
+                        jnp.float32)
+        dep = jnp.float32(0.0)
+        for (y0, x0) in plan:
             zt = z[:, y0:y0 + tile, x0:x0 + tile]
-            img = np.asarray(decode_fn(zt), np.float32)
-            th, tw = img.shape[1], img.shape[2]
-            wy = ramp(th, y0 * f, h * f)
-            wx = ramp(tw, x0 * f, w * f)
-            wmask = (wy[:, None] * wx[None, :])[None, :, :, None]
-            out[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw] += img * wmask
-            weight[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw] += wmask
-    return jnp.asarray(out / np.clip(weight, 1e-6, None))
+            # fake dependency on the previous tile's output: forces the
+            # scheduler to run tiles sequentially (bounded peak memory)
+            zt = zt + (dep * 0.0).astype(zt.dtype)
+            img = inner(params, zt).astype(jnp.float32)
+            dep = img[0, 0, 0, 0]
+            out = out.at[:, y0 * f:y0 * f + th, x0 * f:x0 * f + tw].add(
+                img * jnp.asarray(masks[(y0, x0)]))
+        return out * inv_weight
+
+    if decode_fn is _DIRECT:           # inside the cached jit
+        return decode_all(params, z,
+                          lambda p, zt: vae.apply(p, zt, method=vae.decode))
+    if decode_fn is not None:          # test hook: run un-jitted
+        return decode_all(params, z, lambda _, zt: decode_fn(zt))
+    fn = _cached_tiled_fn(vae, b, h, w, c, tile, overlap)
+    return fn(params, z)
