@@ -167,6 +167,6 @@ class GEGLUFeedForward(nn.Module):
         proj = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="proj_in")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
-        x = h * nn.gelu(gate)
+        x = h * nn.gelu(gate, approximate=False)  # diffusers GEGLU uses F.gelu (exact)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="proj_out")(x)

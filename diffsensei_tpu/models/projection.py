@@ -59,10 +59,15 @@ class ImageProjDummyModel(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         b, n_ips, _ = clip_embeds.shape
         width = self.cross_attention_dim * self.num_tokens
+        # the reference normalizes each branch separately with the SAME norm
+        # module, then sums (projection.py:55-63) — LayerNorm is nonlinear, so
+        # the order matters for parity
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm", **kw)
         x = nn.Dense(width, name="proj", **kw)(clip_embeds)
-        x = x + nn.Dense(width, name="proj_magi", **kw)(magi_embeds)
-        x = x.reshape(b, n_ips * self.num_tokens, self.cross_attention_dim)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm", **kw)(x)
+        x = norm(x.reshape(b, n_ips * self.num_tokens, self.cross_attention_dim))
+        m = nn.Dense(width, name="proj_magi", **kw)(magi_embeds)
+        x = x + norm(m.reshape(b, n_ips * self.num_tokens,
+                               self.cross_attention_dim))
 
         dummy = self.param("dummy_tokens", nn.initializers.normal(0.02),
                            (self.num_dummy_tokens, self.cross_attention_dim),

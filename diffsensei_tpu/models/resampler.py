@@ -74,7 +74,8 @@ class ResamplerFFN(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = nn.LayerNorm(epsilon=1e-5, name="norm", **kw)(x)
         x = nn.Dense(dim * self.mult, use_bias=False, name="fc1", **kw)(x)
-        x = nn.gelu(x)
+        # torch nn.GELU default is the exact erf form (reference resampler.py:16)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(dim, use_bias=False, name="fc2", **kw)(x)
 
 

@@ -89,13 +89,19 @@ jax.tree_util.register_dataclass(
 
 
 def make_euler_discrete(num_steps: int,
-                        num_train_timesteps: int = NUM_TRAIN_TIMESTEPS) -> SamplerState:
-    """EulerDiscreteScheduler with SDXL defaults (linspace timestep spacing)."""
+                        num_train_timesteps: int = NUM_TRAIN_TIMESTEPS,
+                        steps_offset: int = 1) -> SamplerState:
+    """EulerDiscreteScheduler mirroring the released SDXL scheduler config:
+    ``timestep_spacing="leading"`` with ``steps_offset=1`` (timesteps
+    ``(k*ratio)+1`` descending, e.g. 951..1 at 20 steps) and
+    ``init_noise_sigma = sqrt(sigma_max^2 + 1)`` — the pairing diffusers uses
+    for "leading" spacing. (A linspace/"leading-init" mix matches no diffusers
+    config; ADVICE r1.)"""
     acp = _alphas_cumprod(num_train_timesteps)
     sigmas_full = np.sqrt((1.0 - acp) / acp)
-    timesteps = np.linspace(0, num_train_timesteps - 1, num_steps,
-                            dtype=np.float64)[::-1].copy()
-    # interp sigma at fractional timesteps
+    step_ratio = num_train_timesteps // num_steps
+    timesteps = (np.arange(num_steps, dtype=np.float64) * step_ratio).round()
+    timesteps = (timesteps + steps_offset)[::-1].copy()
     sigmas = np.interp(timesteps, np.arange(num_train_timesteps), sigmas_full)
     sigmas = np.concatenate([sigmas, [0.0]])
     init_noise_sigma = np.sqrt(sigmas.max() ** 2 + 1.0)

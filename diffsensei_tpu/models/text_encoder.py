@@ -29,7 +29,8 @@ Dtype = Any
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    return nn.gelu
+    # HF "gelu" is the exact erf form
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class CLIPEncoderLayer(nn.Module):

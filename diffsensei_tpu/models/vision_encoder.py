@@ -48,7 +48,7 @@ class ViTLayer(nn.Module):
 
         h = nn.LayerNorm(epsilon=cfg.norm_eps, name="layer_norm2", **kw)(x)
         h = nn.Dense(cfg.intermediate_size, name="fc1", **kw)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # HF ViT/CLIP gelu = exact erf
         h = nn.Dense(dim, name="fc2", **kw)(h)
         return x + h
 

@@ -324,19 +324,22 @@ class DiffSenseiPipeline:
             pos = pasted
         return pos, neg
 
-    def _prepare_bboxes(self, ip_bbox, dialog_bbox, batch: int):
+    def _prepare_bboxes(self, ip_bbox, dialog_bbox, num_samples: int):
+        """CFG bbox batch ``[uncond ‖ cond]``: the uncond half gets ALL-ZERO
+        boxes (reference ``prepare_ip_image_embeds`` :138 and
+        ``prepare_dialog_bbox`` :168), so the negative branch attends only the
+        dummy block and receives no dialog embedding."""
         manga = self.m.manga
-        def pad(boxes, max_n):
+        def cfg_pad(boxes, max_n):
             arr = np.zeros((max_n, 4), np.float32)
             if boxes is not None:
                 boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
                 arr[:min(len(boxes), max_n)] = boxes[:max_n]
-            return arr
-        ip = jnp.asarray(np.broadcast_to(pad(ip_bbox, manga.max_num_ips),
-                                         (batch, manga.max_num_ips, 4)))
-        dlg = jnp.asarray(np.broadcast_to(pad(dialog_bbox, manga.max_num_dialogs),
-                                          (batch, manga.max_num_dialogs, 4)))
-        return ip, dlg
+            out = np.zeros((2 * num_samples, max_n, 4), np.float32)
+            out[num_samples:] = arr[None]
+            return jnp.asarray(out)
+        return (cfg_pad(ip_bbox, manga.max_num_ips),
+                cfg_pad(dialog_bbox, manga.max_num_dialogs))
 
     # -- main entry (reference __call__ :181-372) ------------------------------
     def __call__(
@@ -400,7 +403,7 @@ class DiffSenseiPipeline:
 
         # 3. bboxes + per-level attention biases (hoisted out of the loop)
         ip_bbox_arr, dialog_arr = self._prepare_bboxes(
-            ip_bbox, dialog_bbox, 2 * num_samples)
+            ip_bbox, dialog_bbox, num_samples)
         ip_biases = {}
         if use_ip:
             for level in attention_levels(m.unet.config):

@@ -25,7 +25,7 @@ unknown torch keys are returned for inspection).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -166,6 +166,17 @@ def port_resampler(sd: Dict[str, Any], depth: int) -> Dict:
         _set(p, f"layers_{i}_ff/norm", norm(sd, f + "0"))
         _set(p, f"layers_{i}_ff/fc1", linear(sd, f + "1"))
         _set(p, f"layers_{i}_ff/fc2", linear(sd, f + "3"))
+    return {"params": p}
+
+
+def port_image_proj(sd: Dict[str, Any]) -> Dict:
+    """Reference ``ImageProj{,Dummy}Model`` state dict (``src/models/projection.py``)
+    → ``models.projection`` params. Magi branch / dummy tokens are optional."""
+    p: Dict = {"proj": linear(sd, "proj"), "norm": norm(sd, "norm")}
+    if "proj_magi.weight" in sd:
+        p["proj_magi"] = linear(sd, "proj_magi")
+    if "dummy_tokens" in sd:
+        p["dummy_tokens"] = _np(sd["dummy_tokens"])
     return {"params": p}
 
 
@@ -445,38 +456,68 @@ def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
             for k, v in sd.items()}
 
 
-def port_ip_adapter(ip_sd: Dict[str, Any], unet_params: Dict,
-                    cfg) -> Dict:
-    """Apply an ``ip_adapter`` group (``{idx}.to_k_ip.weight`` keyed by
-    cross-attn processor order, ``src/models/utils.py:27-51``) onto ported
-    UNet params. Processor order = diffusers ``attn_processors`` iteration:
-    down blocks (by level, by attention, by transformer block), mid, up."""
-    order: List[Tuple[str, int, int]] = []   # (module, block_idx, num_layers)
+def attn_processor_slots(cfg) -> List[Tuple[Optional[str], int]]:
+    """Enumerate the UNet's attention-processor ModuleList positions.
+
+    The reference loads ``ip_adapter`` checkpoints with
+    ``nn.ModuleList(unet.attn_processors.values()).load_state_dict(sd)``
+    (``src/models/utils.py:46-48``), so key ``{i}.to_k_ip.weight`` indexes the
+    i-th processor in diffusers ``attn_processors`` order. That order is
+    ``named_children`` insertion order — **down_blocks, up_blocks, mid_block**
+    (both ModuleLists are assigned before ``mid_block`` in
+    ``UNet2DConditionModel.__init__``) — and within each transformer block the
+    parameterless attn1 ``AttnProcessor2_0`` (a ``torch.nn.Module``,
+    reference ``attention_processor.py:7``) consumes an index before attn2.
+
+    Returns ``[(module_name_or_None, block_idx)]`` aligned with the checkpoint
+    indices; entries with ``module_name=None`` are attn1 slots (no weights).
+    """
+    slots: List[Tuple[Optional[str], int]] = []
     tl = cfg.transformer_layers_per_block
     n_levels = len(cfg.block_out_channels)
+
+    def add(mod: str, n_blocks: int) -> None:
+        for k in range(n_blocks):
+            slots.append((None, k))    # attn1: parameterless processor
+            slots.append((mod, k))     # attn2: holds to_k_ip / to_v_ip
+
     for level in range(n_levels):
         if tl[level] == 0:
             continue
         for j in range(cfg.layers_per_block):
-            for k in range(tl[level]):
-                order.append((f"down_{level}_attn_{j}", k, tl[level]))
-    for k in range(cfg.mid_transformer_layers):
-        order.append(("mid_attn", k, cfg.mid_transformer_layers))
+            add(f"down_{level}_attn_{j}", tl[level])
     for rev, level in enumerate(reversed(range(n_levels))):
         if tl[level] == 0:
             continue
         for j in range(cfg.layers_per_block + 1):
-            for k in range(tl[level]):
-                order.append((f"up_{rev}_attn_{j}", k, tl[level]))
+            add(f"up_{rev}_attn_{j}", tl[level])
+    add("mid_attn", cfg.mid_transformer_layers)
+    return slots
 
+
+def port_ip_adapter(ip_sd: Dict[str, Any], unet_params: Dict,
+                    cfg) -> Dict:
+    """Apply an ``ip_adapter`` group (``{idx}.to_k_ip.weight`` keyed by
+    attn-processor ModuleList position, ``src/models/utils.py:27-51``) onto
+    ported UNet params. Raises if any checkpoint weight key maps to no slot —
+    a silent skip here would assign released weights to wrong layers."""
     p = unet_params["params"]
-    for idx, (mod, k, n_layers) in enumerate(order):
+    consumed = set()
+    for idx, (mod, k) in enumerate(attn_processor_slots(cfg)):
         kw = f"{idx}.to_k_ip.weight"
-        if kw not in ip_sd:
+        if mod is None or kw not in ip_sd:
             continue
-        _write_ip_proj(p, mod, k, n_layers,
+        _write_ip_proj(p, mod, k, None,
                        _np(ip_sd[kw]).T,
                        _np(ip_sd[f"{idx}.to_v_ip.weight"]).T)
+        consumed.update({kw, f"{idx}.to_v_ip.weight"})
+    leftover = [k for k in ip_sd
+                if k.endswith((".to_k_ip.weight", ".to_v_ip.weight"))
+                and k not in consumed]
+    if leftover:
+        raise ValueError(
+            f"ip_adapter keys matched no attn2 processor slot: {leftover[:6]}"
+            f"{'...' if len(leftover) > 6 else ''} — index layout mismatch")
     return unet_params
 
 

@@ -32,14 +32,20 @@ def test_ddpm_matches_closed_form():
 
 
 def test_euler_timesteps_and_init_sigma():
+    # "leading" spacing + steps_offset=1, the released SDXL scheduler config:
+    # timesteps (k*ratio)+1 descending -> [751, 501, 251, 1] at 4 steps
     st = sch.make_euler_discrete(4)
     ts = np.asarray(st.timesteps)
-    assert ts[0] == 999.0 and ts[-1] == 0.0
+    np.testing.assert_array_equal(ts, [751.0, 501.0, 251.0, 1.0])
     assert st.sigmas.shape == (5,)
     assert float(st.sigmas[-1]) == 0.0
-    # scaled_linear betas give sigma_max ~14.61; init = sqrt(sigma_max^2+1)
-    # (diffusers EulerDiscreteScheduler.init_noise_sigma for SD/SDXL ~14.65)
-    assert 14.0 < float(st.init_noise_sigma) < 15.0
+    # "leading" spacing pairs with init = sqrt(sigma_max^2 + 1) in diffusers,
+    # where sigma_max is the max over the SELECTED sigmas (sigmas[0] here)
+    np.testing.assert_allclose(
+        float(st.init_noise_sigma),
+        np.sqrt(float(st.sigmas[0]) ** 2 + 1.0), rtol=1e-6)
+    st20 = sch.make_euler_discrete(20)
+    assert float(np.asarray(st20.timesteps)[0]) == 951.0
 
 
 def test_euler_denoise_recovers_signal():
