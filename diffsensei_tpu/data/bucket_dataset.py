@@ -239,8 +239,25 @@ class MangaTrainSizeBucketDataset:
         return per_device * self.cfg.data_parallel
 
     def batches(self, shuffle: bool = True,
-                seed: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
-        """One epoch of fixed-shape numpy batches with ``sample_mask``."""
+                seed: Optional[int] = None,
+                num_workers: int = 0,
+                host_id: int = 0,
+                num_hosts: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of fixed-shape numpy batches with ``sample_mask``.
+
+        ``num_workers > 0`` builds each batch's samples on a thread pool (PIL
+        decode/resize releases the GIL — the reference's ``8*num_processes``
+        DataLoader workers, ``scripts/train/train.py:236-237``); 0 keeps the
+        bit-deterministic serial path.
+
+        Multi-host: every host iterates the SAME epoch plan (same seed) and
+        takes rows ``[host_id::num_hosts]`` of each global batch, so the
+        concatenation across hosts is the full global batch (the per-rank
+        sampler sharding Accelerate does for the reference).
+        """
+        if num_hosts > 1 and any(
+                self.bucket_batch_size(k) % num_hosts for k in self.bucket_keys):
+            raise ValueError("bucket batch sizes must divide num_hosts")
         rng = random.Random(seed)
         plan: List[Tuple[Tuple[int, int], List[int]]] = []
         for key in self.bucket_keys:
@@ -253,14 +270,29 @@ class MangaTrainSizeBucketDataset:
         if shuffle:
             rng.shuffle(plan)
 
-        for key, idxs in plan:
-            bs = self.bucket_batch_size(key)
-            mask = np.zeros((bs,), np.float32)
-            mask[: len(idxs)] = 1.0
-            # pad partial batches by repeating samples (loss-masked)
-            padded = idxs + [idxs[i % len(idxs)] for i in range(bs - len(idxs))]
-            samples = [self.get_sample(key, i) for i in padded]
-            batch = {k: np.stack([s[k] for s in samples])
-                     for k in samples[0]}
-            batch["sample_mask"] = mask
-            yield batch
+        pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=num_workers)
+        try:
+            for key, idxs in plan:
+                bs = self.bucket_batch_size(key)
+                mask = np.zeros((bs,), np.float32)
+                mask[: len(idxs)] = 1.0
+                # pad partial batches by repeating samples (loss-masked)
+                padded = idxs + [idxs[i % len(idxs)]
+                                 for i in range(bs - len(idxs))]
+                local = padded[host_id::num_hosts]
+                local_mask = mask[host_id::num_hosts]
+                if pool is not None:
+                    samples = list(pool.map(
+                        lambda i: self.get_sample(key, i), local))
+                else:
+                    samples = [self.get_sample(key, i) for i in local]
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                batch["sample_mask"] = local_mask
+                yield batch
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)

@@ -1,10 +1,13 @@
-"""Host-side data loading: worker pool + prefetch feeding the device.
+"""Host-side data loading: prefetch pipeline feeding the device.
 
 The reference keeps TPUs/GPUs fed with torch DataLoader workers
 (``8 * num_processes`` workers, ``scripts/train/train.py:236-237,262-270``).
-Here a thread pool builds the PIL/numpy batches (PIL releases the GIL for
-decode/resize) and a bounded prefetch queue overlaps host work and device
-steps; ``shard_batch`` places each batch on the mesh's data axis.
+Here the split is: ``MangaTrainSizeBucketDataset.batches(num_workers=N)``
+builds each batch's samples on a thread pool (PIL releases the GIL for
+decode/resize) with per-host sharding, while this module's ``PrefetchLoader``
+runs ONE producer thread that drains that iterator through a bounded queue and
+``device_put``s ahead of the consuming train step — so sample building (the
+expensive part) is parallel and the device never waits on host transfer.
 """
 
 from __future__ import annotations

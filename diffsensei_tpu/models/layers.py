@@ -99,13 +99,17 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     norm_num_groups: int = 32
     use_time_emb: bool = True
+    # diffusers: UNet resnets get norm_eps=1e-5 (UNet2DConditionModel
+    # default), VAE resnets keep ResnetBlock2D's default 1e-6
+    norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
         in_channels = x.shape[-1]
-        h = FusedGroupNormSiLU(self.norm_num_groups, dtype=self.dtype,
+        h = FusedGroupNormSiLU(self.norm_num_groups, self.norm_eps,
+                               dtype=self.dtype,
                                param_dtype=self.param_dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
@@ -114,7 +118,8 @@ class ResnetBlock2D(nn.Module):
                          param_dtype=self.param_dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = FusedGroupNormSiLU(self.norm_num_groups, dtype=self.dtype,
+        h = FusedGroupNormSiLU(self.norm_num_groups, self.norm_eps,
+                               dtype=self.dtype,
                                param_dtype=self.param_dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)

@@ -66,15 +66,16 @@ class Encoder(nn.Module):
         for level, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock2D(ch, cfg.norm_num_groups, use_time_emb=False,
+                                  norm_eps=1e-6,
                                   name=f"down_{level}_resnet_{j}", **kw)(x)
             if level < len(cfg.block_out_channels) - 1:
                 x = Downsample2D(ch, name=f"down_{level}_downsample", **kw)(x)
         mid_ch = cfg.block_out_channels[-1]
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
-                          name="mid_resnet_0", **kw)(x)
+                          norm_eps=1e-6, name="mid_resnet_0", **kw)(x)
         x = VAEAttention(cfg.norm_num_groups, name="mid_attn", **kw)(x)
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
-                          name="mid_resnet_1", **kw)(x)
+                          norm_eps=1e-6, name="mid_resnet_1", **kw)(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          name="conv_norm_out", **kw)(x)
         x = nn.silu(x)
@@ -94,13 +95,14 @@ class Decoder(nn.Module):
         mid_ch = cfg.block_out_channels[-1]
         x = nn.Conv(mid_ch, (3, 3), padding=1, name="conv_in", **kw)(z)
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
-                          name="mid_resnet_0", **kw)(x)
+                          norm_eps=1e-6, name="mid_resnet_0", **kw)(x)
         x = VAEAttention(cfg.norm_num_groups, name="mid_attn", **kw)(x)
         x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, use_time_emb=False,
-                          name="mid_resnet_1", **kw)(x)
+                          norm_eps=1e-6, name="mid_resnet_1", **kw)(x)
         for rev, ch in enumerate(reversed(cfg.block_out_channels)):
             for j in range(cfg.layers_per_block + 1):
                 x = ResnetBlock2D(ch, cfg.norm_num_groups, use_time_emb=False,
+                                  norm_eps=1e-6,
                                   name=f"up_{rev}_resnet_{j}", **kw)(x)
             if rev < len(cfg.block_out_channels) - 1:
                 x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(x)

@@ -127,6 +127,86 @@ class PipelineModules:
                 jnp.zeros((1, manga.max_num_ips, mcfg.hidden_size))),
         )
 
+    @classmethod
+    def sdxl(cls, rng: Optional[jax.Array] = None,
+             dtype: Any = jnp.bfloat16, init: str = "zeros",
+             remat: bool = False) -> "PipelineModules":
+        """Production-scale stack (reference ``gradio.py:229-283`` geometry):
+        SDXL UNet + manga modules, fp32 VAE, CLIP-L + OpenCLIP-bigG text
+        encoders, CLIP ViT-H + Magi ViTMAE image encoders, DiffSensei
+        Resampler.
+
+        ``init``: "zeros" (fast ``eval_shape``-based trees — overlay ported
+        weights before serving), "random" (full random init; slow, for
+        benchmarks/training-from-scratch), or "none" (params left ``None``).
+        Params are fp32; compute dtype ``dtype`` (VAE always fp32).
+        """
+        manga = MangaConfig()
+        ucfg = UNetConfig.sdxl(manga)
+        unet = UNetMangaModel(ucfg, dtype=dtype, remat_blocks=remat)
+        vae = AutoencoderKL(VAEConfig.sdxl())
+        te1 = CLIPTextEncoder(TextEncoderConfig.clip_l(), dtype=dtype)
+        te2 = CLIPTextEncoder(TextEncoderConfig.clip_bigg(), dtype=dtype)
+        icfg = VisionEncoderConfig.clip_vit_h()
+        mcfg = VisionEncoderConfig.magi_vitmae()
+        ienc = VisionTransformer(icfg, dtype=dtype)
+        menc = VisionTransformer(mcfg, dtype=dtype)
+        res = Resampler(ResamplerConfig.diffsensei(), dtype=dtype)
+
+        mods = cls(unet=unet, unet_params=None, vae=vae, vae_params=None,
+                   text_encoder=te1, text_encoder_params=None,
+                   text_encoder_2=te2, text_encoder_2_params=None,
+                   image_encoder=ienc, image_encoder_params=None,
+                   magi_encoder=menc, magi_encoder_params=None,
+                   resampler=res, resampler_params=None)
+        if init == "none":
+            return mods
+
+        rng = rng if rng is not None else jax.random.key(0)
+        keys = jax.random.split(rng, 7)
+        ids = jnp.zeros((1, 77), jnp.int32)
+        img = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        lh = lw = 64
+        biases = {
+            level: jnp.zeros((1, (lh >> level) * (lw >> level),
+                              manga.num_context_image_tokens), dtype)
+            for level in attention_levels(ucfg)
+        }
+        unet_init = functools.partial(
+            unet.init,
+            ip_hidden_states=jnp.zeros(
+                (1, manga.num_context_image_tokens, ucfg.cross_attention_dim),
+                dtype),
+            ip_attn_bias=biases, ip_scale=0.6,
+            dialog_bbox=jnp.zeros((1, manga.max_num_dialogs, 4)))
+        inits = {
+            "unet_params": (unet_init, keys[0],
+                            jnp.zeros((1, lh, lw, ucfg.in_channels), dtype),
+                            jnp.zeros((1,)),
+                            jnp.zeros((1, 77, ucfg.cross_attention_dim), dtype),
+                            jnp.zeros((1, ucfg.pooled_projection_dim), dtype),
+                            jnp.zeros((1, 6))),
+            "vae_params": (vae.init, keys[1], jnp.zeros((1, 64, 64, 3)),
+                           keys[2]),
+            "text_encoder_params": (te1.init, keys[3], ids),
+            "text_encoder_2_params": (te2.init, keys[4], ids),
+            "image_encoder_params": (ienc.init, keys[5], img),
+            "magi_encoder_params": (menc.init, keys[6], img),
+            "resampler_params": (
+                res.init, jax.random.fold_in(rng, 9),
+                jnp.zeros((1, manga.max_num_ips, icfg.seq_len, 1280)),
+                jnp.zeros((1, manga.max_num_ips, mcfg.hidden_size))),
+        }
+        for name, (fn, *args) in inits.items():
+            if init == "zeros":
+                shapes = jax.eval_shape(fn, *args)
+                tree = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            else:
+                tree = fn(*args)
+            setattr(mods, name, tree)
+        return mods
+
 
 # ---------------------------------------------------------------------------
 # Jitted core: the denoising loop (one compile per shape/step-count key)

@@ -27,7 +27,16 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="DiffSensei-TPU generation")
     parser.add_argument("--preset", default="tiny", choices=["tiny", "sdxl"])
     parser.add_argument("--weights", default=None,
-                        help="Orbax weights dir (train.checkpoint.export_weights)")
+                        help="weights source: a YAML file mapping component "
+                        "names to torch checkpoint paths (see "
+                        "utils.load.apply_ported_weights), a released "
+                        "DiffSensei artifact directory (contains "
+                        "image_generator/), or an Orbax weights dir "
+                        "(train.checkpoint.export_weights)")
+    parser.add_argument("--tokenizer", default=None,
+                        help="HF CLIPTokenizer dir (sdxl preset); hashed ids "
+                        "fallback otherwise")
+    parser.add_argument("--tokenizer-2", default=None)
     parser.add_argument("--prompt", default="")
     parser.add_argument("--negative-prompt", default=None)
     parser.add_argument("--height", type=int, default=1024)
@@ -53,12 +62,23 @@ def main(argv=None):
     from diffsensei_tpu.pipelines.pipeline import (
         DiffSenseiPipeline, PipelineModules)
     from diffsensei_tpu.serve.api import DiffSenseiServer, GenerationRequest
+    from diffsensei_tpu.utils.load import load_weights_any
 
     if args.preset == "sdxl":
-        raise NotImplementedError(
-            "sdxl serving needs ported weights wiring; see "
-            "diffsensei_tpu.utils.port_torch and serve/api.py")
-    modules = PipelineModules.tiny(jax.random.key(0))
+        modules = PipelineModules.sdxl(jax.random.key(0), init="zeros")
+    else:
+        modules = PipelineModules.tiny(jax.random.key(0))
+    if args.weights:
+        modules = load_weights_any(modules, args.weights)
+    elif args.preset == "sdxl":
+        print("# WARNING: sdxl preset with no --weights serves ZERO weights")
+    if args.tokenizer:
+        from diffsensei_tpu.train.cli import _load_tokenizer
+        modules.tokenizer = _load_tokenizer(
+            args.tokenizer, modules.text_encoder.config.vocab_size)
+        modules.tokenizer_2 = _load_tokenizer(
+            args.tokenizer_2 or args.tokenizer,
+            modules.text_encoder_2.config.vocab_size)
     server = DiffSenseiServer(DiffSenseiPipeline(modules))
 
     chars = [Image.open(p).convert("RGB") for p in args.char_image]

