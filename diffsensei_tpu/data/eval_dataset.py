@@ -145,6 +145,116 @@ class MangaEvalMLLMDataset(MangaEvaluationDataset):
         return item
 
 
+class MangaInferenceMLLMDataset(MangaEvalMLLMDataset):
+    """Per-frame MLLM inference items with PAGE-LEVEL source-character caching
+    (reference ``dataset_mllm_max_ip.py:673-851``): the first frame of a page
+    samples ONE source bbox per character id (``sample_source_characters``,
+    ``:722-747``) and every later frame of the same page reuses that crop, so
+    a character's conditioning image is consistent across the page's panels —
+    the property the reference's paper-eval harness relies on.
+
+    Items add ``condition_ip_bbox`` (the source crops' page bboxes) and
+    truncate captions to ``max_caption_length`` tokens (``:779-783``).
+    """
+
+    def __init__(self, *args, max_caption_length: int = 77, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_caption_length = max_caption_length
+        self._page_source_chars: Dict = {}
+
+    def _page_key(self, ann) -> str:
+        return ann.get("image_path") or str(id(ann))
+
+    def sample_source_characters(self, ann):
+        """One (id → bbox) choice per page, cached (reference ``:722-747``)."""
+        key = self._page_key(ann)
+        if key in self._page_source_chars:
+            cached = self._page_source_chars[key]
+            return cached["char_ids"], cached["char_bboxes"]
+        char_boxes: Dict = {}
+        for frame in ann["frames"]:
+            for char in frame["characters"]:
+                x1, y1, x2, y2 = char["bbox"]
+                if ((y2 - y1) > self.min_ip_height
+                        and (x2 - x1) > self.min_ip_width
+                        and char.get("type", 0) == 0):
+                    char_boxes.setdefault(char["id"], []).append(char["bbox"])
+        char_ids = list(char_boxes)
+        char_bboxes = [self.rng.choice(b) for b in char_boxes.values()]
+        self._page_source_chars[key] = {"char_ids": char_ids,
+                                        "char_bboxes": char_bboxes}
+        return char_ids, char_bboxes
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = self.items[idx]
+        ann, frame_idx = item["ann"], item["frame_idx"]
+        frame_info = ann["frames"][frame_idx]
+        if "image" in ann:
+            page_image = ann["image"].convert("RGB")
+        else:
+            page_image = Image.open(
+                os.path.join(self.image_root, ann["image_path"])).convert("RGB")
+        if self.mask_dialog:
+            page_image = geometry.mask_dialogs_from_image(page_image, ann)
+
+        x1, y1, x2, y2 = frame_info["bbox"]
+        height, width = y2 - y1, x2 - x1
+        if self.snap:
+            height, width = snap_to_bucket(height, width)
+        else:
+            height, width = (height // 8) * 8, (width // 8) * 8
+
+        source_ids, source_bboxes = self.sample_source_characters(ann)
+        # biggest target characters first (reference ``:753``), matched to
+        # their page-cached source crop
+        chars = sorted(frame_info["characters"],
+                       key=lambda c: (c["bbox"][2] - c["bbox"][0]) *
+                                     (c["bbox"][3] - c["bbox"][1]),
+                       reverse=True)
+        ip_images, ip_bbox, condition_ip_bbox = [], [], []
+        for char in chars:
+            if char["id"] not in source_ids:
+                continue
+            cx1, cy1, cx2, cy2 = char["bbox"]
+            if ((cy2 - cy1) <= self.min_ip_height
+                    or (cx2 - cx1) <= self.min_ip_width):
+                continue
+            src_bbox = source_bboxes[source_ids.index(char["id"])]
+            condition_ip_bbox.append(src_bbox)
+            ip_images.append(page_image.crop(tuple(src_bbox)))
+            ip_bbox.append(geometry.get_relative_bbox(frame_info["bbox"],
+                                                      char["bbox"]))
+            if len(ip_bbox) >= self.max_num_ips:
+                break
+
+        dialogs = frame_info.get("dialogs", [])
+        order = list(range(len(dialogs)))
+        self.rng.shuffle(order)
+        dialog_bbox = [
+            geometry.get_relative_bbox(frame_info["bbox"],
+                                       dialogs[i]["bbox"])
+            for i in order[: self.max_num_dialogs]
+        ]
+
+        caption = frame_info.get("caption", "")
+        caption_ids = list(
+            self.mllm_spec.encode_text(caption))[: self.max_caption_length]
+        out = {
+            "caption": caption,
+            "height": height,
+            "width": width,
+            "ip_images": ip_images,
+            "ip_bbox": ip_bbox,
+            "condition_ip_bbox": condition_ip_bbox,
+            "dialog_bbox": dialog_bbox,
+            "frame_info": frame_info,
+            "ann": ann,
+        }
+        out.update(build_inference_prompt(caption_ids, self.mllm_spec,
+                                          self._newline))
+        return out
+
+
 class MangaInferenceCharImageDataset:
     """Characters drawn from a directory of reference images
     (reference ``dataset_mllm_max_ip.py:853-1007``): each item is a prompt +

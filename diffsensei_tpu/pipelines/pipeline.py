@@ -291,8 +291,15 @@ class DiffSenseiPipeline:
                       ids: Optional[jnp.ndarray] = None,
                       neg_ids: Optional[jnp.ndarray] = None,
                       ids_2: Optional[jnp.ndarray] = None,
-                      neg_ids_2: Optional[jnp.ndarray] = None):
-        """Returns (ctx [2, 77, D_cross], pooled [2, P]) with row 0 = negative."""
+                      neg_ids_2: Optional[jnp.ndarray] = None,
+                      prompt_2: Optional[str] = None,
+                      negative_prompt_2: Optional[str] = None):
+        """Returns (ctx [2, 77, D_cross], pooled [2, P]) with row 0 = negative.
+
+        ``prompt_2``/``negative_prompt_2`` feed the second (OpenCLIP-bigG)
+        encoder separately (SDXL dual-prompt surface, reference
+        ``pipeline_diffsensei.py:181-203``); default to the primary prompts.
+        """
         if ids is None:
             ids = self._tokenize(self.m.tokenizer, prompt)
             neg_ids = self._tokenize(self.m.tokenizer, negative_prompt)
@@ -301,8 +308,11 @@ class DiffSenseiPipeline:
             if self.m.tokenizer_2 is None and self.m.tokenizer is None:
                 ids_2, neg_ids_2 = ids, neg_ids
             else:
-                ids_2 = self._tokenize(tok2, prompt)
-                neg_ids_2 = self._tokenize(tok2, negative_prompt)
+                ids_2 = self._tokenize(
+                    tok2, prompt if prompt_2 is None else prompt_2)
+                neg_ids_2 = self._tokenize(
+                    tok2, negative_prompt if negative_prompt_2 is None
+                    else negative_prompt_2)
         both = jnp.concatenate([neg_ids, ids], axis=0)
         both_2 = jnp.concatenate([neg_ids_2, ids_2], axis=0)
         h1, _ = self.m.text_encoder.apply(self.m.text_encoder_params, both)
@@ -426,11 +436,16 @@ class DiffSenseiPipeline:
         self,
         prompt: str = "",
         *,
+        prompt_2: Optional[str] = None,
         height: int = 1024,
         width: int = 1024,
         num_inference_steps: Optional[int] = None,
         guidance_scale: Optional[float] = None,
         negative_prompt: Optional[str] = None,
+        negative_prompt_2: Optional[str] = None,
+        original_size: Optional[Tuple[int, int]] = None,
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
         num_samples: int = 1,
         rng: Optional[jax.Array] = None,
         ip_pixel_values: Optional[jnp.ndarray] = None,
@@ -464,7 +479,9 @@ class DiffSenseiPipeline:
         lh, lw = height // self.latent_scale, width // self.latent_scale
 
         # 1. text (row 0 = negative, row 1 = positive)
-        ctx, pooled = self.encode_prompt(prompt, neg, **(prompt_ids or {}))
+        ctx, pooled = self.encode_prompt(prompt, neg, prompt_2=prompt_2,
+                                         negative_prompt_2=negative_prompt_2,
+                                         **(prompt_ids or {}))
 
         # 2. characters
         use_ip = (ip_pixel_values is not None or ip_image_embeds is not None) \
@@ -491,9 +508,14 @@ class DiffSenseiPipeline:
                     ip_bbox_arr, lh >> level, lw >> level,
                     manga.num_vision_tokens, manga.num_dummy_tokens)
 
-        # 4. SDXL micro-conditioning: (orig, crop, target) sizes
+        # 4. SDXL micro-conditioning: caller-supplied (orig, crop, target)
+        # sizes, defaulting to the panel size (reference passes them through
+        # to _get_add_time_ids, pipeline_diffsensei.py:181-203,279)
+        orig = original_size or (height, width)
+        tgt = target_size or (height, width)
         time_ids = jnp.asarray(
-            [[height, width, 0, 0, height, width]], jnp.float32)
+            [[orig[0], orig[1], crops_coords_top_left[0],
+              crops_coords_top_left[1], tgt[0], tgt[1]]], jnp.float32)
         time_ids = jnp.repeat(time_ids, 2 * num_samples, axis=0)
 
         # 5. latents

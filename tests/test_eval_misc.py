@@ -78,3 +78,35 @@ def test_attn_pool_vit():
 def test_example_presets():
     assert len(example_inputs) == 2
     assert len(example_inputs_wo_mllm[0]) == 6
+
+
+def test_inference_mllm_dataset_page_level_caching():
+    """MangaInferenceMLLMDataset: one source crop per character per PAGE —
+    frames of the same page reuse the cached bbox; items carry
+    condition_ip_bbox + the inference prompt (dataset_mllm_max_ip.py:673-851)."""
+    from diffsensei_tpu.data.eval_dataset import MangaInferenceMLLMDataset
+
+    spec = _spec()
+    ds = MangaInferenceMLLMDataset(None, "", annotations=_annotations(2),
+                                   max_num_ips=2, mllm_spec=spec,
+                                   rng=random.Random(0))
+    assert len(ds) == 4
+    a, b = ds[0], ds[1]          # two frames of page 0
+    assert a["ann"] is b["ann"]
+    # page-level cache: the same character id maps to the SAME source bbox in
+    # both frames' condition_ip_bbox
+    cache = ds._page_source_chars[ds._page_key(a["ann"])]
+    assert set(map(tuple, a["condition_ip_bbox"])) <= \
+        set(map(tuple, cache["char_bboxes"]))
+    assert set(map(tuple, b["condition_ip_bbox"])) <= \
+        set(map(tuple, cache["char_bboxes"]))
+    # repeated access hits the cache (no resampling drift)
+    a2 = ds[0]
+    assert [tuple(x) for x in a2["condition_ip_bbox"]] == \
+        [tuple(x) for x in a["condition_ip_bbox"]]
+    # MLLM prompt present with cmp slots and trailing generation trigger
+    assert a["input_ids"][0, -1] == spec.boi_id
+    assert a["ids_cmp_mask"].sum() == spec.num_img_tokens
+    assert len(a["ip_images"]) == len(a["ip_bbox"]) == \
+        len(a["condition_ip_bbox"])
+    assert a["height"] % 8 == 0 and a["width"] % 8 == 0

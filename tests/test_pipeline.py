@@ -87,3 +87,51 @@ def test_snap_to_buckets(tiny_pipeline):
     # 250x1000 (area 250k) snaps to the 512-class bucket (256, 1024)
     # -> latents (32, 128)
     assert latents.shape == (1, 32, 128, 4)
+
+
+def test_micro_conditioning_and_cfg_bboxes(tiny_pipeline, monkeypatch):
+    """Caller-supplied SDXL micro-conditioning reaches time_ids, and the CFG
+    bbox batch has ZERO boxes on the uncond half (reference
+    prepare_ip_image_embeds :138 / prepare_dialog_bbox :168; ADVICE r1)."""
+    from diffsensei_tpu.pipelines import pipeline as pl
+
+    captured = {}
+
+    def fake_denoise(unet, unet_params, sampler, latents, ctx, pooled,
+                     time_ids, ip_tokens, ip_biases, dialog_bbox,
+                     guidance_scale, ip_scale, *, use_ip):
+        captured["time_ids"] = np.asarray(time_ids)
+        captured["dialog"] = np.asarray(dialog_bbox)
+        return latents
+
+    monkeypatch.setattr(pl, "_denoise", fake_denoise)
+    tiny_pipeline(
+        height=64, width=64, num_inference_steps=2, num_samples=2,
+        rng=jax.random.key(0), prompt_ids=_prompt_ids(),
+        original_size=(512, 384), crops_coords_top_left=(16, 24),
+        target_size=(128, 96),
+        dialog_bbox=[[0.1, 0.2, 0.5, 0.6]],
+        return_latents=True, snap_to_buckets=False)
+    np.testing.assert_array_equal(
+        captured["time_ids"],
+        np.tile([[512, 384, 16, 24, 128, 96]], (4, 1)).astype(np.float32))
+    dlg = captured["dialog"]
+    assert dlg.shape[0] == 4
+    np.testing.assert_array_equal(dlg[:2], np.zeros_like(dlg[:2]))  # uncond
+    np.testing.assert_allclose(dlg[2, 0], [0.1, 0.2, 0.5, 0.6],
+                               rtol=1e-6)                           # cond
+
+
+def test_prompt_2_changes_output(tiny_pipeline):
+    """Dual-prompt surface: ids_2 differing from ids changes the panel."""
+    rng = np.random.default_rng(3)
+    mk = lambda: jnp.asarray(rng.integers(1, 255, (1, 77)), jnp.int32)
+    base = dict(ids=mk(), neg_ids=mk(), ids_2=mk(), neg_ids_2=mk())
+    alt = dict(base, ids_2=mk())
+    a = tiny_pipeline(height=64, width=64, num_inference_steps=2,
+                      rng=jax.random.key(5), prompt_ids=base,
+                      snap_to_buckets=False)
+    b = tiny_pipeline(height=64, width=64, num_inference_steps=2,
+                      rng=jax.random.key(5), prompt_ids=alt,
+                      snap_to_buckets=False)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
