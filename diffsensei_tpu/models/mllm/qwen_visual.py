@@ -43,6 +43,34 @@ def interpolate_abs_pos(pos: jnp.ndarray, target_len: int) -> jnp.ndarray:
     return grid.reshape(tgt * tgt, -1)
 
 
+class QwenVisionTransformer(nn.Module):
+    """Plain head-less Qwen-VL ViT (reference ``qwen_visual.py:423-489``):
+    conv patchify → interpolated abs pos → ln_pre → pre-LN blocks; returns the
+    full patch sequence ``[B, grid**2, width]`` (no pooling head)."""
+
+    config: VisionEncoderConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b = pixel_values.shape[0]
+        x = nn.Conv(cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                    use_bias=False, name="patch_embedding",
+                    **kw)(pixel_values.astype(self.dtype))
+        x = x.reshape(b, -1, cfg.hidden_size)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (256, cfg.hidden_size), self.param_dtype)
+        x = x + interpolate_abs_pos(pos.astype(self.dtype), x.shape[1])[None]
+        x = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_pre", **kw)(x)
+        for i in range(cfg.num_layers):
+            x = ViTLayer(cfg, name=f"layers_{i}", **kw)(x)
+        return x
+
+
 class VisionTransformerWithAttnPool(nn.Module):
     """[B, H, W, 3] → [B, grid_size**2, output_dim] pooled vision tokens."""
 

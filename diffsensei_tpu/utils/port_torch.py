@@ -456,6 +456,49 @@ def port_qwen_resampler(sd: Dict[str, Any]) -> Dict:
 # ---------------------------------------------------------------------------
 # DiffSensei checkpoint dicts
 # ---------------------------------------------------------------------------
+def port_qwen_visual(sd: Dict[str, Any], num_layers: int, num_heads: int,
+                     with_pool: bool = False) -> Dict:
+    """Reference Qwen-VL ViT (``src/models/vision_encoders/qwen_visual.py:
+    321,423``) → ``models.mllm.qwen_visual`` params.
+
+    The reference ``VisualAttention`` packs qkv in ONE ``in_proj`` whose rows
+    interleave PER HEAD — ``mixed.view(sq, b, heads, 3*hn).split(hn, -1)``
+    (``qwen_visual.py:190-199``) means head h's rows are ``[q_h; k_h; v_h]``,
+    NOT the usual ``[Q; K; V]`` thirds. De-interleave accordingly.
+    """
+    p: Dict = {}
+    p["patch_embedding"] = conv(sd, "conv1")
+    p["position_embedding"] = _np(sd["positional_embedding"])
+    _set(p, "ln_pre", norm(sd, "ln_pre"))
+    for i in range(num_layers):
+        base = f"transformer.resblocks.{i}."
+        w = _np(sd[base + "attn.in_proj.weight"])        # [3E, E]
+        bias = _np(sd[base + "attn.in_proj.bias"])       # [3E]
+        e = w.shape[1]
+        hn = e // num_heads
+        w3 = w.reshape(num_heads, 3, hn, e)
+        b3 = bias.reshape(num_heads, 3, hn)
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(p, f"layers_{i}/{name}", {
+                "kernel": w3[:, j].reshape(e, e).T,
+                "bias": b3[:, j].reshape(e),
+            })
+        _set(p, f"layers_{i}/out_proj", linear(sd, base + "attn.out_proj"))
+        _set(p, f"layers_{i}/layer_norm1", norm(sd, base + "ln_1"))
+        _set(p, f"layers_{i}/layer_norm2", norm(sd, base + "ln_2"))
+        _set(p, f"layers_{i}/fc1", linear(sd, base + "mlp.c_fc"))
+        _set(p, f"layers_{i}/fc2", linear(sd, base + "mlp.c_proj"))
+    if with_pool:
+        pool_sd = {k[len("attn_pool."):]: v for k, v in sd.items()
+                   if k.startswith("attn_pool.")}
+        p["attn_pool"] = port_qwen_resampler(pool_sd)["params"]
+        _set(p, "ln_post", norm(sd, "ln_post"))
+        # reference applies ``x @ proj`` with proj [in, out] — already the
+        # flax kernel orientation, no transpose
+        _set(p, "proj", {"kernel": _np(sd["proj"])})
+    return {"params": p}
+
+
 def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
     """DDP 'module.' prefix strip (reference ``load_ckpt``, utils.py:53-66)."""
     return {k[len("module."):] if k.startswith("module.") else k: v

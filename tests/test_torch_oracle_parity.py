@@ -149,3 +149,30 @@ def test_vae_decoder_parity():
         want = _from_nchw(ref(zin))
     got = np.asarray(vae.apply(params, jnp.asarray(z), method=vae.decode))
     np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_qwen_visual_plain_vit_parity():
+    """Qwen-VL ViT with the per-head-interleaved fused in_proj
+    (qwen_visual.py:190-199) — the porter must de-interleave, not chunk."""
+    from diffsensei_tpu.core.config import VisionEncoderConfig
+    from diffsensei_tpu.models.mllm.qwen_visual import QwenVisionTransformer
+
+    torch.manual_seed(4)
+    width, heads, layers = 32, 4, 2
+    ref = oracle.QwenPlainViT(image_size=128, patch_size=8, width=width,
+                              layers=layers, heads=heads).eval()
+    cfg = VisionEncoderConfig(image_size=128, patch_size=8, hidden_size=width,
+                              num_layers=layers, num_heads=heads,
+                              intermediate_size=4 * width, norm_eps=1e-6,
+                              use_class_embedding=False, patch_bias=False)
+    params = port_torch.port_qwen_visual(ref.state_dict(), num_layers=layers,
+                                         num_heads=heads)
+
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(2, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(img)).numpy()
+    model = QwenVisionTransformer(cfg)
+    got = np.asarray(model.apply(params,
+                                 jnp.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=ATOL)

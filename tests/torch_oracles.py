@@ -302,6 +302,59 @@ class UNetMangaOracle(nn.Module):
         return self.conv_out(F.silu(self.conv_norm_out(x)))
 
 
+class QwenPlainViT(nn.Module):
+    """Reference Qwen-VL plain ViT (``qwen_visual.py:423-489``) with the
+    PER-HEAD-interleaved fused qkv ``in_proj`` (``:190-199``): head h's rows
+    of in_proj are [q_h; k_h; v_h], not [Q; K; V] thirds."""
+
+    def __init__(self, image_size, patch_size, width, layers, heads):
+        super().__init__()
+        self.heads = heads
+        self.conv1 = nn.Conv2d(3, width, patch_size, patch_size, bias=False)
+        self.positional_embedding = nn.Parameter(
+            torch.randn(256, width) * width ** -0.5)
+        self.ln_pre = nn.LayerNorm(width, eps=1e-6)
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = nn.LayerNorm(width, eps=1e-6)
+                self.attn = nn.Module()
+                self.attn.in_proj = nn.Linear(width, 3 * width)
+                self.attn.out_proj = nn.Linear(width, width)
+                self.ln_2 = nn.LayerNorm(width, eps=1e-6)
+                self.mlp = nn.Module()
+                self.mlp.c_fc = nn.Linear(width, 4 * width)
+                self.mlp.c_proj = nn.Linear(4 * width, width)
+
+            def forward(blk, x):
+                h = blk.ln_1(x)
+                b, s, e = h.shape
+                hn = e // heads
+                mixed = blk.attn.in_proj(h).view(b, s, heads, 3 * hn)
+                q, k, v = mixed.split(hn, dim=-1)      # per-head interleave
+                q = q.permute(0, 2, 1, 3)
+                k = k.permute(0, 2, 1, 3)
+                v = v.permute(0, 2, 1, 3)
+                o = F.scaled_dot_product_attention(q, k, v)
+                o = o.permute(0, 2, 1, 3).reshape(b, s, e)
+                x = x + blk.attn.out_proj(o)
+                return x + blk.mlp.c_proj(F.gelu(blk.mlp.c_fc(blk.ln_2(x))))
+
+        self.transformer = nn.Module()
+        self.transformer.resblocks = nn.ModuleList(
+            [Block() for _ in range(layers)])
+
+    def forward(self, x):
+        x = self.conv1(x)
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        x = x + self.positional_embedding[None, : x.shape[1]]
+        x = self.ln_pre(x)
+        for blk in self.transformer.resblocks:
+            x = blk(x)
+        return x
+
+
 class VAEAttention(nn.Module):
     def __init__(self, c, groups=4):
         super().__init__()
