@@ -14,6 +14,31 @@ import argparse
 import os
 
 
+def mllm_spec_from_tokenizer(path: str, num_img_tokens: int = 64):
+    """MLLMTokenSpec from the released agent tokenizer dir (LlamaTokenizer
+    with ``<img>``/``</img>``/``<img_{k:05d}>`` added; reference
+    ``seed_x.py:10-12``, ``gradio.py:40-47``). Mirrors the reference's
+    ``encode(tok)[1]`` id extraction (sentencepiece prefixes a word-start
+    piece at index 0)."""
+    from transformers import LlamaTokenizer
+
+    from diffsensei_tpu.data.mllm_dataset import MLLMTokenSpec
+
+    tok = LlamaTokenizer.from_pretrained(path)
+
+    def tid(text):
+        ids = tok.encode(text, add_special_tokens=False)
+        return ids[1] if len(ids) > 1 else ids[0]
+
+    return MLLMTokenSpec(
+        bos_id=tok.bos_token_id, eos_id=tok.eos_token_id,
+        pad_id=tok.pad_token_id or 0,
+        boi_id=tid("<img>"), eoi_id=tid("</img>"),
+        img_ids=[tid(f"<img_{k:05d}>") for k in range(num_img_tokens)],
+        encode_text=lambda s: tok.encode(s, add_special_tokens=False),
+    )
+
+
 def _parse_bbox(values):
     boxes = []
     for v in values or []:
@@ -37,6 +62,13 @@ def main(argv=None):
                         help="HF CLIPTokenizer dir (sdxl preset); hashed ids "
                         "fallback otherwise")
     parser.add_argument("--tokenizer-2", default=None)
+    parser.add_argument("--agent-weights", default=None,
+                        help="ContinuousLVLM checkpoint (mllm/agent/"
+                        "pytorch_model.bin layout) — enables the MLLM "
+                        "character-adaptation path")
+    parser.add_argument("--mllm-tokenizer", default=None,
+                        help="HF LlamaTokenizer dir with the <img_k> ladder "
+                        "tokens (reference mllm/tokenizer)")
     parser.add_argument("--prompt", default="")
     parser.add_argument("--negative-prompt", default=None)
     parser.add_argument("--height", type=int, default=1024)
@@ -79,7 +111,20 @@ def main(argv=None):
         modules.tokenizer_2 = _load_tokenizer(
             args.tokenizer_2 or args.tokenizer,
             modules.text_encoder_2.config.vocab_size)
-    server = DiffSenseiServer(DiffSenseiPipeline(modules))
+
+    agent, mllm_spec = None, None
+    if args.agent_weights:
+        from diffsensei_tpu.core.config import AgentConfig
+        from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
+        from diffsensei_tpu.utils.load import load_agent_weights
+        acfg = AgentConfig() if args.preset == "sdxl" else AgentConfig.tiny()
+        agent = load_agent_weights(
+            ContinuousLVLM.build(acfg, jax.random.key(1)),
+            args.agent_weights)
+        if args.mllm_tokenizer:
+            mllm_spec = mllm_spec_from_tokenizer(args.mllm_tokenizer)
+    server = DiffSenseiServer(DiffSenseiPipeline(modules), agent=agent,
+                              mllm_spec=mllm_spec)
 
     chars = [Image.open(p).convert("RGB") for p in args.char_image]
     req = GenerationRequest(

@@ -209,6 +209,75 @@ def export_resampler_sd(params: Dict, depth: int) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_llama_sd(params: Dict, num_layers: int,
+                    prefix: str = "model.") -> Dict[str, np.ndarray]:
+    """``models.mllm.llama.LlamaForCausalLM`` params → HF LLaMA state dict
+    (the naming the reference's xformers fork keeps and ``port_llama``
+    consumes); LoRA adapters export as ``lora_A/lora_B`` pairs."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {
+        f"{prefix}embed_tokens.weight": _a(p["embed_tokens"]["embedding"]),
+        f"{prefix}norm.weight": _a(p["norm"]["weight"]),
+        "lm_head.weight": _a(p["lm_head"]["kernel"]).T,
+    }
+    for i in range(num_layers):
+        lp = p[f"layers_{i}"]
+        base = f"{prefix}layers.{i}."
+        for ours, theirs in (("attn/q_proj", "self_attn.q_proj"),
+                             ("attn/k_proj", "self_attn.k_proj"),
+                             ("attn/v_proj", "self_attn.v_proj"),
+                             ("attn/o_proj", "self_attn.o_proj"),
+                             ("mlp/gate_proj", "mlp.gate_proj"),
+                             ("mlp/up_proj", "mlp.up_proj"),
+                             ("mlp/down_proj", "mlp.down_proj")):
+            a, b = ours.split("/")
+            node = lp[a][b]
+            sd[base + theirs + ".weight"] = _a(node["base"]["kernel"]).T
+            if "lora_a" in node:
+                sd[base + theirs + ".lora_A.weight"] = _a(node["lora_a"]).T
+                sd[base + theirs + ".lora_B.weight"] = _a(node["lora_b"]).T
+        sd[base + "input_layernorm.weight"] = _a(lp["input_norm"]["weight"])
+        sd[base + "post_attention_layernorm.weight"] = \
+            _a(lp["post_norm"]["weight"])
+    return sd
+
+
+def export_qwen_resampler_sd(params: Dict) -> Dict[str, np.ndarray]:
+    """``models.mllm.qwen_resampler`` params → reference ``QwenResampler``
+    state dict (packed ``attn.in_proj_weight`` [3E, E])."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {"query": _a(p["query"])}
+    if "kv_proj" in p:
+        sd["kv_proj.weight"] = _a(p["kv_proj"]["kernel"]).T
+    _norm(sd, "ln_q", p["ln_q"])
+    _norm(sd, "ln_kv", p["ln_kv"])
+    sd["attn.in_proj_weight"] = np.concatenate(
+        [_a(p[n]["kernel"]).T for n in ("q_in_proj", "k_in_proj",
+                                        "v_in_proj")], axis=0)
+    sd["attn.in_proj_bias"] = np.concatenate(
+        [_a(p[n]["bias"]) for n in ("q_in_proj", "k_in_proj", "v_in_proj")])
+    _lin(sd, "attn.out_proj", p["out_proj"])
+    return sd
+
+
+def export_agent_ckpt(llm_params: Dict, input_resampler_params: Dict,
+                      output_resampler_params: Dict,
+                      num_layers: int) -> Dict[str, np.ndarray]:
+    """ContinuousLVLM checkpoint with ``llm. / input_resampler. /
+    output_resampler.`` prefixes (the reference's ``mllm/agent/
+    pytorch_model.bin`` layout, ``load_ckpt_mllm`` utils.py:68-72)."""
+    sd: Dict[str, np.ndarray] = {}
+    for key, value in export_llama_sd(llm_params, num_layers).items():
+        sd["llm." + key] = value
+    for key, value in export_qwen_resampler_sd(
+            input_resampler_params).items():
+        sd["input_resampler." + key] = value
+    for key, value in export_qwen_resampler_sd(
+            output_resampler_params).items():
+        sd["output_resampler." + key] = value
+    return sd
+
+
 def export_ip_adapter_sd(unet_params: Dict, resampler_params: Dict,
                          cfg, resampler_depth: int) -> Dict[str, Any]:
     """The ``{"image_proj", "ip_adapter"}`` checkpoint split the reference's

@@ -138,6 +138,28 @@ def apply_ported_weights(modules, weights_cfg: Dict[str, str]):
     return modules
 
 
+def load_agent_weights(agent, path: str):
+    """Load a ContinuousLVLM checkpoint (``mllm/agent/pytorch_model.bin``
+    layout: ``llm. / input_resampler. / output_resampler.`` prefixes,
+    reference ``load_ckpt_mllm`` utils.py:68-72; ``module.`` prefixes and
+    peft-LoRA naming handled) into a built agent, returning it with params
+    replaced."""
+    import dataclasses
+
+    groups = port_torch.split_agent_ckpt(_load(path))
+    updates = {}
+    if groups["llm"]:
+        updates["llm_params"] = port_torch.port_llama(
+            groups["llm"], agent.config.llm.num_layers)
+    if groups["input_resampler"]:
+        updates["input_resampler_params"] = port_torch.port_qwen_resampler(
+            groups["input_resampler"])
+    if groups["output_resampler"]:
+        updates["output_resampler_params"] = port_torch.port_qwen_resampler(
+            groups["output_resampler"])
+    return dataclasses.replace(agent, **updates)
+
+
 def load_weights_any(modules, source: str):
     """Dispatch a ``--weights`` argument to the right loader:
 

@@ -146,3 +146,90 @@ def test_serve_cli_tiny_smoke(tmp_path):
     from PIL import Image
     img = Image.open(out)
     assert img.size == (256, 256)
+
+
+def test_load_weights_any_yaml_mapping(tiny_modules, tmp_path):
+    """YAML name->path mapping (relative paths resolve against the YAML)."""
+    m = tiny_modules
+    proj_sd = {k: torch.tensor(v) for k, v in
+               export_torch.export_resampler_sd(
+                   m.resampler_params, m.resampler.config.depth).items()}
+    torch.save(proj_sd, tmp_path / "image_proj.bin")
+    (tmp_path / "weights.yaml").write_text("resampler: image_proj.bin\n")
+
+    other = PipelineModules.tiny(jax.random.key(3))
+    other = load_weights_any(other, os.fspath(tmp_path / "weights.yaml"))
+    _trees_equal(other.resampler_params, m.resampler_params)
+
+
+def test_load_weights_any_orbax_dir(tiny_modules, tmp_path):
+    """Orbax weights dir (train.checkpoint.export_weights layout)."""
+    from diffsensei_tpu.train.checkpoint import export_weights
+
+    m = tiny_modules
+    path = os.fspath(tmp_path / "orbax_weights")
+    export_weights(path, {"unet": m.unet_params,
+                          "resampler": m.resampler_params})
+    other = PipelineModules.tiny(jax.random.key(4))
+    other = load_weights_any(other, path)
+    _trees_equal(other.unet_params, m.unet_params)
+    _trees_equal(other.resampler_params, m.resampler_params)
+
+
+def test_sdxl_modules_constructors():
+    """PipelineModules.sdxl: 'none' builds module defs instantly; 'zeros'
+    builds full eval_shape-based zero trees ready for ported overlays."""
+    mods = PipelineModules.sdxl(init="none")
+    assert mods.unet_params is None
+    assert mods.unet.config.cross_attention_dim == 2048
+    assert mods.text_encoder_2.config.hidden_size == 1280
+    assert mods.resampler.config.num_queries == 16
+
+
+def test_agent_ckpt_export_load_roundtrip(tmp_path):
+    """ContinuousLVLM checkpoint (mllm/agent/pytorch_model.bin layout with
+    llm./input_resampler./output_resampler. prefixes + DDP module. wrap) →
+    load_agent_weights → identical agent loss."""
+    from diffsensei_tpu.core.config import AgentConfig
+    from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
+    from diffsensei_tpu.utils.load import load_agent_weights
+
+    acfg = AgentConfig.tiny()
+    src = ContinuousLVLM.build(acfg, jax.random.key(1), lora_rank=2)
+    sd = export_torch.export_agent_ckpt(
+        src.llm_params, src.input_resampler_params,
+        src.output_resampler_params, acfg.llm.num_layers)
+    path = tmp_path / "pytorch_model.bin"
+    torch.save({"module." + k: torch.tensor(v) for k, v in sd.items()}, path)
+
+    dst = ContinuousLVLM.build(acfg, jax.random.key(99), lora_rank=2)
+    dst = load_agent_weights(dst, os.fspath(path))
+    _trees_equal(dst.llm_params, src.llm_params)
+    _trees_equal(dst.input_resampler_params, src.input_resampler_params)
+    _trees_equal(dst.output_resampler_params, src.output_resampler_params)
+
+    # end-to-end: identical loss on a synthetic batch
+    rng = np.random.default_rng(0)
+    nq = acfg.input_resampler.num_queries
+    L = 2 + 2 * nq + 4
+    ids_cmp = np.zeros((2, L), bool); ids_cmp[:, 1:1 + nq] = True
+    ids_gen = np.zeros((2, L), bool); ids_gen[:, 2 + nq:2 + 2 * nq] = True
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, acfg.llm.vocab_size, (2, L)), jnp.int32),
+        "labels": jnp.asarray(
+            rng.integers(0, acfg.llm.vocab_size, (2, L)), jnp.int32),
+        "image_embeds": jnp.asarray(
+            rng.standard_normal((2, 2, nq, acfg.input_resampler.kv_dim)),
+            jnp.float32),
+        "embeds_cmp_mask": jnp.asarray([[True, False]] * 2),
+        "embeds_gen_mask": jnp.asarray([[False, True]] * 2),
+        "ids_cmp_mask": jnp.asarray(ids_cmp),
+        "ids_gen_mask": jnp.asarray(ids_gen),
+    }
+    params = lambda a: {"llm": a.llm_params,
+                        "input_resampler": a.input_resampler_params,
+                        "output_resampler": a.output_resampler_params}
+    l_src, _ = src.loss(params(src), batch)
+    l_dst, _ = dst.loss(params(dst), batch)
+    np.testing.assert_array_equal(np.asarray(l_src), np.asarray(l_dst))
