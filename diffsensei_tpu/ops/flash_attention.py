@@ -79,9 +79,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
                                 preferred_element_type=jnp.float32) * sm_scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
-        valid = _bounds_mask(q_start, k_start, block_q, block_k,
-                             q_len, kv_len, causal)
-        s = jnp.where(valid, s, NEG_INF)
+        # bounds/causal masking is wasted VPU work when every block is full
+        # and non-causal (the UNet's power-of-two spatial shapes): skip it —
+        # all quantities here are static Python ints.
+        if causal or q_len % block_q != 0 or kv_len % block_k != 0:
+            valid = _bounds_mask(q_start, k_start, block_q, block_k,
+                                 q_len, kv_len, causal)
+            s = jnp.where(valid, s, NEG_INF)
         if kv_len % block_k != 0:
             # OOB v tail is unspecified memory (can be NaN); 0*NaN = NaN in
             # the dot — zero it.
@@ -213,9 +217,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                                 preferred_element_type=jnp.float32) * sm_scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
-        valid = _bounds_mask(q_start, k_start, block_q, block_k,
-                             q_len, kv_len, causal)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        if causal or q_len % block_q != 0 or kv_len % block_k != 0:
+            valid = _bounds_mask(q_start, k_start, block_q, block_k,
+                                 q_len, kv_len, causal)
+            p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
 
         if kv_len % block_k != 0:
             tail = _row_valid(k_start, block_k, kv_len)
@@ -272,9 +279,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                                 preferred_element_type=jnp.float32) * sm_scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
-        valid = _bounds_mask(q_start, k_start, block_q, block_k,
-                             q_len, kv_len, causal)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        if causal or q_len % block_q != 0 or kv_len % block_k != 0:
+            valid = _bounds_mask(q_start, k_start, block_q, block_k,
+                                 q_len, kv_len, causal)
+            p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
 
         if q_len % block_q != 0:
             tail = _row_valid(q_start, block_q, q_len)

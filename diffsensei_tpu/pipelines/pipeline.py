@@ -136,9 +136,11 @@ class PipelineModules:
         encoders, CLIP ViT-H + Magi ViTMAE image encoders, DiffSensei
         Resampler.
 
-        ``init``: "zeros" (fast ``eval_shape``-based trees — overlay ported
-        weights before serving), "random" (full random init; slow, for
-        benchmarks/training-from-scratch), or "none" (params left ``None``).
+        ``init``: "zeros" (``eval_shape``-based trees, no RNG/compile —
+        overlay ported weights before serving; ~7 min CPU trace for the full
+        unrolled UNet, same order as any init of this graph), "random"
+        (full random init; for benchmarks/training-from-scratch), or "none"
+        (module defs only, params left ``None``).
         Params are fp32; compute dtype ``dtype`` (VAE always fp32).
         """
         manga = MangaConfig()
