@@ -261,13 +261,19 @@ class MangaInferenceCharImageDataset:
     up-to-max_num_ips character image files."""
 
     def __init__(self, prompts: List[Dict], char_image_root: str,
-                 max_num_ips: int = 4):
+                 max_num_ips: int = 4,
+                 mllm_spec: Optional[MLLMTokenSpec] = None,
+                 max_caption_length: int = 77):
         # prompts: [{"caption": str, "character_images": [fname, ...],
         #            "ip_bbox": [...], "dialog_bbox": [...],
         #            "height": int, "width": int}]
         self.prompts = prompts
         self.root = char_image_root
         self.max_num_ips = max_num_ips
+        self.mllm_spec = mllm_spec
+        self.max_caption_length = max_caption_length
+        self._newline = (list(mllm_spec.encode_text("\n"))
+                         if mllm_spec else [])
 
     def __len__(self):
         return len(self.prompts)
@@ -279,4 +285,12 @@ class MangaInferenceCharImageDataset:
             images.append(Image.open(os.path.join(self.root, name))
                           .convert("RGB"))
         spec["ip_images"] = images
+        if self.mllm_spec is not None:
+            # MLLM variant (MangaInferenceCharImageMLLMDataset, reference
+            # ``dataset_mllm_max_ip.py:960-1007``): caption-truncated
+            # comprehension prompt alongside the image fields
+            caption_ids = list(self.mllm_spec.encode_text(
+                spec.get("caption", "")))[: self.max_caption_length]
+            spec.update(build_inference_prompt(caption_ids, self.mllm_spec,
+                                               self._newline))
         return spec

@@ -291,7 +291,10 @@ def main(argv=None):
         max_train_steps=int(trainer.get("max_train_steps", 1000)),
         log_dir=trainer.get("log_dir", "logs/run"),
         log_every=int(trainer.get("log_every", 50)),
-        checkpoint_every=int(trainer.get("checkpoint_every", 1000)),
+        checkpoint_every=int(trainer.get("checkpoint_every",
+                                         trainer.get("checkpointing_interval",
+                                                     1000))),
+        checkpoint_steps=tuple(trainer.get("checkpointing_steps", ()) or ()),
         checkpoints_total_limit=trainer.get("checkpoints_total_limit", 5),
         seed=int(trainer.get("seed", 0)),
         resume=bool(trainer.get("resume", False)),

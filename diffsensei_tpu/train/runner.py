@@ -36,6 +36,10 @@ class RunConfig:
     log_dir: str
     log_every: int = 50
     checkpoint_every: int = 1000
+    # explicit extra checkpoint steps (reference ``checkpointing_steps`` list,
+    # configs/train/diffsensei/self_0.5.yaml:59-60 — used to snapshot at
+    # hand-picked milestones on top of the interval cadence)
+    checkpoint_steps: tuple = ()
     checkpoints_total_limit: Optional[int] = 5
     seed: int = 0
     resume: bool = False
@@ -96,7 +100,8 @@ def run_training(step_fn: Callable, state: TrainState,
         else:
             timer.step_done()
         step += 1
-        if step % cfg.checkpoint_every == 0 or step == cfg.max_train_steps:
+        if (step % cfg.checkpoint_every == 0 or step == cfg.max_train_steps
+                or step in cfg.checkpoint_steps):
             ckpt.save(step, jax.device_get(state), rng=rng)
 
     if step > start_step and step % cfg.checkpoint_every != 0 \

@@ -110,3 +110,18 @@ def test_inference_mllm_dataset_page_level_caching():
     assert len(a["ip_images"]) == len(a["ip_bbox"]) == \
         len(a["condition_ip_bbox"])
     assert a["height"] % 8 == 0 and a["width"] % 8 == 0
+
+
+def test_char_image_dataset_mllm_variant(tmp_path):
+    """MangaInferenceCharImageDataset with an mllm_spec adds the inference
+    prompt (MangaInferenceCharImageMLLMDataset, dataset_mllm_max_ip.py:853)."""
+    Image.new("RGB", (40, 60), (10, 10, 200)).save(tmp_path / "c.png")
+    spec = _spec()
+    ds = MangaInferenceCharImageDataset(
+        [{"caption": "a duel", "character_images": ["c.png"],
+          "ip_bbox": [[0, 0, 1, 1]], "height": 256, "width": 256}],
+        char_image_root=str(tmp_path), mllm_spec=spec)
+    item = ds[0]
+    assert len(item["ip_images"]) == 1
+    assert item["input_ids"][0, -1] == spec.boi_id
+    assert item["ids_cmp_mask"].sum() == spec.num_img_tokens

@@ -63,3 +63,30 @@ def test_resume_continues_exactly(tmp_path):
                                rtol=1e-6, atol=1e-6)
     # both checkpoints exist (step-2 rotated away only if limit exceeded)
     assert os.path.isdir(os.path.join(log_dir, "step-4"))
+
+
+def test_checkpoint_steps_list(tmp_path):
+    """Explicit checkpointing_steps snapshot at listed milestones on top of
+    the interval (reference self_0.5.yaml:59-60 semantics)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffsensei_tpu.train.diffusion import TrainState
+    from diffsensei_tpu.train.optim import make_optimizer
+    from diffsensei_tpu.train.runner import RunConfig, run_training
+
+    def step_fn(state, batch, rng):
+        return state.apply_gradients(
+            jax.tree.map(jnp.ones_like, state.params)), {"loss": jnp.float32(0)}
+
+    state = TrainState.create({"w": jnp.zeros((2,))}, make_optimizer(1e-2))
+    log_dir = os.fspath(tmp_path / "run")
+    cfg = RunConfig(max_train_steps=7, log_dir=log_dir, log_every=100,
+                    checkpoint_every=1000, checkpoint_steps=(2, 5),
+                    checkpoints_total_limit=10)
+    batches = [{"x": jnp.zeros(())}] * 10
+    run_training(step_fn, state, batches, cfg, donate_state=False)
+    dirs = sorted(d for d in os.listdir(log_dir) if d.startswith("step-"))
+    assert dirs == ["step-2", "step-5", "step-7"]   # listed + final
