@@ -164,6 +164,20 @@ class PipelineModules:
         if init == "none":
             return mods
 
+        for name, (fn, *args) in mods._init_specs(rng, dtype).items():
+            if init == "zeros":
+                shapes = jax.eval_shape(fn, *args)
+                tree = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            else:
+                tree = fn(*args)
+            setattr(mods, name, tree)
+        return mods
+
+    def _init_specs(self, rng: Optional[jax.Array], dtype: Any):
+        """Per-component ``field -> (init_fn, *args)`` for this module set."""
+        manga = self.manga
+        ucfg = self.unet.config
         rng = rng if rng is not None else jax.random.key(0)
         keys = jax.random.split(rng, 7)
         ids = jnp.zeros((1, 77), jnp.int32)
@@ -175,39 +189,48 @@ class PipelineModules:
             for level in attention_levels(ucfg)
         }
         unet_init = functools.partial(
-            unet.init,
+            self.unet.init,
             ip_hidden_states=jnp.zeros(
                 (1, manga.num_context_image_tokens, ucfg.cross_attention_dim),
                 dtype),
             ip_attn_bias=biases, ip_scale=0.6,
             dialog_bbox=jnp.zeros((1, manga.max_num_dialogs, 4)))
-        inits = {
+        rcfg = self.resampler.config
+        return {
             "unet_params": (unet_init, keys[0],
                             jnp.zeros((1, lh, lw, ucfg.in_channels), dtype),
                             jnp.zeros((1,)),
                             jnp.zeros((1, 77, ucfg.cross_attention_dim), dtype),
                             jnp.zeros((1, ucfg.pooled_projection_dim), dtype),
                             jnp.zeros((1, 6))),
-            "vae_params": (vae.init, keys[1], jnp.zeros((1, 64, 64, 3)),
+            "vae_params": (self.vae.init, keys[1], jnp.zeros((1, 64, 64, 3)),
                            keys[2]),
-            "text_encoder_params": (te1.init, keys[3], ids),
-            "text_encoder_2_params": (te2.init, keys[4], ids),
-            "image_encoder_params": (ienc.init, keys[5], img),
-            "magi_encoder_params": (menc.init, keys[6], img),
+            "text_encoder_params": (self.text_encoder.init, keys[3], ids),
+            "text_encoder_2_params": (self.text_encoder_2.init, keys[4], ids),
+            "image_encoder_params": (self.image_encoder.init, keys[5], img),
+            "magi_encoder_params": (self.magi_encoder.init, keys[6], img),
             "resampler_params": (
-                res.init, jax.random.fold_in(rng, 9),
-                jnp.zeros((1, manga.max_num_ips, icfg.seq_len, 1280)),
-                jnp.zeros((1, manga.max_num_ips, mcfg.hidden_size))),
+                self.resampler.init, jax.random.fold_in(rng, 9),
+                jnp.zeros((1, manga.max_num_ips,
+                           self.image_encoder.config.seq_len,
+                           rcfg.embedding_dim)),
+                jnp.zeros((1, manga.max_num_ips, rcfg.magi_embedding_dim))),
         }
-        for name, (fn, *args) in inits.items():
-            if init == "zeros":
+
+    def fill_missing_params(self, rng: Optional[jax.Array] = None) -> None:
+        """Zero-init ONLY the components whose params are still ``None``.
+
+        Serving fast path: build with ``init="none"``, overlay ported
+        checkpoints (the porters construct complete trees themselves), then
+        call this — skipping the ~7 min UNet init trace whenever a full UNet
+        checkpoint was provided.
+        """
+        for field, (fn, *args) in self._init_specs(
+                rng, self.unet.dtype).items():
+            if getattr(self, field) is None:
                 shapes = jax.eval_shape(fn, *args)
-                tree = jax.tree.map(
-                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-            else:
-                tree = fn(*args)
-            setattr(mods, name, tree)
-        return mods
+                setattr(self, field, jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes))
 
 
 # ---------------------------------------------------------------------------

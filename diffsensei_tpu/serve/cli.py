@@ -97,13 +97,19 @@ def main(argv=None):
     from diffsensei_tpu.utils.load import load_weights_any
 
     if args.preset == "sdxl":
-        modules = PipelineModules.sdxl(jax.random.key(0), init="zeros")
+        # fast path: the porters build complete trees, so init only what the
+        # checkpoint does not cover (skips the ~7 min UNet init trace)
+        modules = PipelineModules.sdxl(jax.random.key(0), init="none")
+        if args.weights:
+            modules = load_weights_any(modules, args.weights)
+        else:
+            print("# WARNING: sdxl preset with no --weights serves "
+                  "ZERO weights")
+        modules.fill_missing_params(jax.random.key(0))
     else:
         modules = PipelineModules.tiny(jax.random.key(0))
-    if args.weights:
-        modules = load_weights_any(modules, args.weights)
-    elif args.preset == "sdxl":
-        print("# WARNING: sdxl preset with no --weights serves ZERO weights")
+        if args.weights:
+            modules = load_weights_any(modules, args.weights)
     if args.tokenizer:
         from diffsensei_tpu.train.cli import _load_tokenizer
         modules.tokenizer = _load_tokenizer(

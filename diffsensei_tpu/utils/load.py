@@ -117,6 +117,11 @@ def apply_ported_weights(modules, weights_cfg: Dict[str, str]):
                 port_torch.strip_module_prefix(sd),
                 modules.resampler.config.depth)
 
+    if (("diffsensei_ckpt" in weights_cfg or "ip_adapter" in weights_cfg)
+            and modules.unet_params is None):
+        # overlay modes need an existing UNet tree (init="none" fast path)
+        modules.fill_missing_params()
+
     if "diffsensei_ckpt" in weights_cfg:
         ckpt = _load(weights_cfg["diffsensei_ckpt"])
         res_params, unet_params = port_torch.port_diffsensei_ckpt(

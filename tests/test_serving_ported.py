@@ -233,3 +233,26 @@ def test_agent_ckpt_export_load_roundtrip(tmp_path):
     l_src, _ = src.loss(params(src), batch)
     l_dst, _ = dst.loss(params(dst), batch)
     np.testing.assert_array_equal(np.asarray(l_src), np.asarray(l_dst))
+
+
+def test_fill_missing_params_only_inits_gaps():
+    """init='none' + fill_missing_params zero-inits exactly the components no
+    checkpoint covered (serving fast path — skips the UNet trace when a full
+    UNet checkpoint was ported)."""
+    mods = PipelineModules.sdxl(init="none")
+    # pretend a checkpoint provided the resampler
+    sentinel = {"params": {"latents": np.ones((16, 1280), np.float32)}}
+    mods.resampler_params = sentinel
+    # fill only the small encoders for test speed: give the heavy components
+    # stand-ins too
+    mods.unet_params = {"params": {}}
+    mods.vae_params = {"params": {}}
+    mods.text_encoder_2_params = {"params": {}}
+    mods.image_encoder_params = {"params": {}}
+    mods.magi_encoder_params = {"params": {}}
+    mods.fill_missing_params()
+    assert mods.resampler_params is sentinel          # untouched
+    assert mods.unet_params == {"params": {}}          # untouched
+    # the one missing component (CLIP-L text encoder) got a zeros tree
+    leaves = jax.tree.leaves(mods.text_encoder_params)
+    assert leaves and all(float(jnp.sum(jnp.abs(x))) == 0 for x in leaves)
