@@ -326,7 +326,7 @@ class PipelineConfig:
     num_samples: int = 1
     ip_scale: float = 0.6
     mllm_scale: float = 0.4
-    scheduler: str = "euler_discrete"  # "ddim" | "euler_discrete" | "ddpm"
+    scheduler: str = "euler_discrete"  # "ddim" | "euler_discrete" | "dpmsolver++"
 
 
 # ---------------------------------------------------------------------------

@@ -67,23 +67,31 @@ class DDPMSchedule:
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True)
 class SamplerState:
-    kind: str                      # "euler_discrete" | "ddim"
+    kind: str                      # "euler_discrete" | "ddim" | "dpmsolver++"
     timesteps: jnp.ndarray         # [num_steps] float32 (UNet conditioning input)
     sigmas: jnp.ndarray            # [num_steps + 1] (euler; zeros for ddim)
     alphas_cumprod_t: jnp.ndarray  # [num_steps] acp at t      (ddim)
     alphas_cumprod_prev: jnp.ndarray  # [num_steps] acp at prev t (ddim)
     init_noise_sigma: jnp.ndarray  # scalar: initial latent scale
+    # [5, num_steps] multistep coefficient rows (dpmsolver++ only; [5, 0] else):
+    # inv_alpha_i, sigma_karras_i (x0 conversion), c_x, c_d0, c_d1 (update)
+    dpm_tables: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((5, 0), jnp.float32))
 
     @property
     def num_steps(self) -> int:
         return self.timesteps.shape[0]
+
+    @property
+    def is_multistep(self) -> bool:
+        return self.kind == "dpmsolver++"
 
 
 # Tables are pytree data; `kind` is static metadata (branches the step math).
 jax.tree_util.register_dataclass(
     SamplerState,
     data_fields=["timesteps", "sigmas", "alphas_cumprod_t",
-                 "alphas_cumprod_prev", "init_noise_sigma"],
+                 "alphas_cumprod_prev", "init_noise_sigma", "dpm_tables"],
     meta_fields=["kind"],
 )
 
@@ -141,11 +149,72 @@ def make_ddim(num_steps: int,
     )
 
 
+def make_dpmpp_2m(num_steps: int,
+                  num_train_timesteps: int = NUM_TRAIN_TIMESTEPS,
+                  steps_offset: int = 1) -> SamplerState:
+    """DPM-Solver++ (2M), epsilon-prediction, VP-scaled latents — the
+    ``DPMSolverMultistepScheduler(algorithm_type="dpmsolver++",
+    solver_order=2, lower_order_final=True, final_sigmas_type="zero")``
+    configuration diffusers users run SDXL with, at the same "leading"
+    timestep spacing as our Euler. A second-order linear-multistep exponential
+    integrator: same 20-UNet-call cost as Euler, materially lower
+    discretization error (usable down to ~12 steps).
+
+    Latent convention: ``init_noise_sigma = 1`` and identity
+    ``scale_model_input`` (VP space, x_t = a_t x0 + s_t eps) — unlike Euler's
+    sigma-space latents. All step math is precomputed into ``dpm_tables``:
+    with lam = -log(sigma_karras), h = lam[i+1]-lam[i], h0 = lam[i]-lam[i-1],
+      x0_i   = inv_alpha_i * x - sig_k_i * eps
+      x_next = c_x * x + c_d0 * x0_i + c_d1 * (x0_i - x0_{i-1})
+      c_x    = s_{i+1}/s_i,  c_d0 = a_{i+1} (1 - exp(-h)),
+      c_d1   = 0.5 c_d0 h/h0   (0 at the first and final steps: warmup +
+                                lower_order_final, matching diffusers)
+    The final boundary point is sigma = 0 (final_sigmas_type="zero"):
+    c_x = 0, c_d0 = 1 — the last update returns the predicted x0 exactly.
+    """
+    acp = _alphas_cumprod(num_train_timesteps)
+    sigmas_full = np.sqrt((1.0 - acp) / acp)
+    step_ratio = num_train_timesteps // num_steps
+    timesteps = (np.arange(num_steps, dtype=np.float64) * step_ratio).round()
+    timesteps = (timesteps + steps_offset)[::-1].copy()
+    sig_k = np.interp(timesteps, np.arange(num_train_timesteps), sigmas_full)
+    sig_k = np.concatenate([sig_k, [0.0]])          # boundary: sigma -> 0
+    alpha = 1.0 / np.sqrt(1.0 + sig_k[:-1] ** 2)    # VP alpha at the N points
+    sigma_vp = sig_k[:-1] * alpha
+    lam = -np.log(sig_k[:-1])                       # lambda = log(a/s)
+
+    c_x = np.zeros(num_steps)
+    c_d0 = np.zeros(num_steps)
+    c_d1 = np.zeros(num_steps)
+    for i in range(num_steps):
+        if i == num_steps - 1:                      # final: to sigma = 0
+            c_x[i], c_d0[i], c_d1[i] = 0.0, 1.0, 0.0
+            continue
+        h = lam[i + 1] - lam[i]
+        c_x[i] = sigma_vp[i + 1] / sigma_vp[i]
+        c_d0[i] = (1.0 / np.sqrt(1.0 + sig_k[i + 1] ** 2)) * (1 - np.exp(-h))
+        if i > 0:                                   # first step: first order
+            c_d1[i] = 0.5 * c_d0[i] * h / (lam[i] - lam[i - 1])
+    tables = np.stack([1.0 / alpha, sig_k[:-1], c_x, c_d0, c_d1])
+    zeros = np.zeros(num_steps)
+    return SamplerState(
+        kind="dpmsolver++",
+        timesteps=jnp.asarray(timesteps, jnp.float32),
+        sigmas=jnp.asarray(sig_k, jnp.float32),
+        alphas_cumprod_t=jnp.asarray(zeros, jnp.float32),
+        alphas_cumprod_prev=jnp.asarray(zeros, jnp.float32),
+        init_noise_sigma=jnp.asarray(1.0, jnp.float32),
+        dpm_tables=jnp.asarray(tables, jnp.float32),
+    )
+
+
 def make_sampler(kind: str, num_steps: int) -> SamplerState:
     if kind == "euler_discrete":
         return make_euler_discrete(num_steps)
     if kind == "ddim":
         return make_ddim(num_steps)
+    if kind == "dpmsolver++":
+        return make_dpmpp_2m(num_steps)
     raise ValueError(f"unknown sampler kind: {kind}")
 
 
@@ -156,6 +225,26 @@ def scale_model_input(state: SamplerState, sample: jnp.ndarray,
         sigma = state.sigmas[i]
         return (sample / jnp.sqrt(sigma**2 + 1.0)).astype(sample.dtype)
     return sample
+
+
+def multistep_step(state: SamplerState, model_output: jnp.ndarray,
+                   i: jnp.ndarray, sample: jnp.ndarray,
+                   prev_x0: jnp.ndarray):
+    """DPM-Solver++ (2M) update at loop step i.
+
+    ``prev_x0`` is the previous step's x0 prediction (the multistep history;
+    pass zeros at i = 0 — its c_d1 coefficient is 0 so the value is unused).
+    Returns ``(prev_sample, x0)``; thread x0 back in as the next carry.
+    """
+    assert state.kind == "dpmsolver++", state.kind
+    f32 = jnp.float32
+    out = model_output.astype(f32)
+    x = sample.astype(f32)
+    inv_alpha, sig_k, c_x, c_d0, c_d1 = (state.dpm_tables[r, i]
+                                         for r in range(5))
+    x0 = inv_alpha * x - sig_k * out
+    prev = c_x * x + c_d0 * x0 + c_d1 * (x0 - prev_x0.astype(f32))
+    return prev.astype(sample.dtype), x0.astype(sample.dtype)
 
 
 def step(state: SamplerState, model_output: jnp.ndarray, i: jnp.ndarray,

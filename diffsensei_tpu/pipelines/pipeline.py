@@ -44,6 +44,7 @@ from diffsensei_tpu.models.resampler import Resampler
 from diffsensei_tpu.models.schedulers import (
     SamplerState,
     make_sampler,
+    multistep_step,
     scale_model_input,
     step as scheduler_step,
 )
@@ -242,7 +243,7 @@ def _denoise(unet: UNetMangaModel, unet_params, sampler: SamplerState,
              dialog_bbox, guidance_scale, ip_scale, *, use_ip: bool):
     """CFG denoise: all conditioning arrives pre-doubled [neg; pos] on axis 0."""
 
-    def body(i, lat):
+    def cfg_eps(i, lat):
         lat_in = jnp.concatenate([lat, lat], axis=0)
         lat_in = scale_model_input(sampler, lat_in, i)
         t = jnp.broadcast_to(sampler.timesteps[i], (lat_in.shape[0],))
@@ -253,8 +254,21 @@ def _denoise(unet: UNetMangaModel, unet_params, sampler: SamplerState,
             ip_scale=ip_scale,
             dialog_bbox=dialog_bbox)
         eps_neg, eps_pos = jnp.split(eps, 2, axis=0)
-        eps = eps_neg + guidance_scale * (eps_pos - eps_neg)
-        return scheduler_step(sampler, eps, i, lat)
+        return eps_neg + guidance_scale * (eps_pos - eps_neg)
+
+    if sampler.is_multistep:
+        # DPM-Solver++ (2M): the loop additionally carries the previous x0
+        def body(i, carry):
+            lat, prev_x0 = carry
+            return multistep_step(sampler, cfg_eps(i, lat), i, lat, prev_x0)
+
+        final, _ = jax.lax.fori_loop(
+            0, sampler.num_steps, body,
+            (latents, jnp.zeros_like(latents)))
+        return final
+
+    def body(i, lat):
+        return scheduler_step(sampler, cfg_eps(i, lat), i, lat)
 
     return jax.lax.fori_loop(0, sampler.num_steps, body, latents)
 

@@ -82,6 +82,10 @@ def main(argv=None):
                         help="x1,y1,x2,y2 relative, one per character")
     parser.add_argument("--dialog-bbox", action="append", default=[])
     parser.add_argument("--ip-scale", type=float, default=None)
+    parser.add_argument("--scheduler", default=None,
+                        choices=["euler_discrete", "ddim", "dpmsolver++"],
+                        help="sampler (default: config euler_discrete; "
+                             "dpmsolver++ = 2nd-order multistep)")
     parser.add_argument("--out", default="panel.png")
     args = parser.parse_args(argv)
 
@@ -91,6 +95,7 @@ def main(argv=None):
     from diffsensei_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    from diffsensei_tpu.core.config import PipelineConfig
     from diffsensei_tpu.pipelines.pipeline import (
         DiffSenseiPipeline, PipelineModules)
     from diffsensei_tpu.serve.api import DiffSenseiServer, GenerationRequest
@@ -129,7 +134,11 @@ def main(argv=None):
             args.agent_weights)
         if args.mllm_tokenizer:
             mllm_spec = mllm_spec_from_tokenizer(args.mllm_tokenizer)
-    server = DiffSenseiServer(DiffSenseiPipeline(modules), agent=agent,
+    pcfg = PipelineConfig()
+    if args.scheduler:
+        import dataclasses
+        pcfg = dataclasses.replace(pcfg, scheduler=args.scheduler)
+    server = DiffSenseiServer(DiffSenseiPipeline(modules, pcfg), agent=agent,
                               mllm_spec=mllm_spec)
 
     chars = [Image.open(p).convert("RGB") for p in args.char_image]

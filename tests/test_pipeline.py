@@ -66,6 +66,27 @@ def test_ip_image_embeds_paste(tiny_pipeline):
     assert bool(jnp.isfinite(latents).all())
 
 
+def test_dpmsolver_pipeline_end_to_end(tiny_pipeline):
+    """DPM-Solver++ (2M) through the full jitted pipeline: finite panel,
+    deterministic, and actually a different trajectory than Euler."""
+    import dataclasses
+
+    from diffsensei_tpu.core.config import PipelineConfig
+
+    dpm = DiffSenseiPipeline(
+        tiny_pipeline.m,
+        dataclasses.replace(PipelineConfig(), scheduler="dpmsolver++"))
+    kwargs = dict(height=64, width=64, num_inference_steps=4,
+                  guidance_scale=5.0, num_samples=1, rng=jax.random.key(7),
+                  prompt_ids=_prompt_ids(), snap_to_buckets=False)
+    images = dpm(**kwargs)
+    assert images.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(images).all())
+    np.testing.assert_array_equal(np.asarray(images), np.asarray(dpm(**kwargs)))
+    euler = np.asarray(tiny_pipeline(**kwargs))
+    assert np.abs(euler - np.asarray(images)).max() > 1e-4
+
+
 def test_determinism_same_seed_bit_identical(tiny_pipeline):
     """Seeded generation is bit-identical (the reference's determinism story
     is torch.Generator seeding; functional JAX RNG makes it exact)."""

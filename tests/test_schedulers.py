@@ -102,3 +102,102 @@ def test_ddim_timesteps_match_diffusers_leading():
 def test_make_sampler_dispatch():
     assert sch.make_sampler("ddim", 5).kind == "ddim"
     assert sch.make_sampler("euler_discrete", 5).kind == "euler_discrete"
+    assert sch.make_sampler("dpmsolver++", 5).kind == "dpmsolver++"
+
+
+def test_dpmpp_tables_and_spacing():
+    st = sch.make_dpmpp_2m(4)
+    # same leading spacing as Euler (diffusers from_config keeps it for SDXL)
+    np.testing.assert_array_equal(np.asarray(st.timesteps),
+                                  [751.0, 501.0, 251.0, 1.0])
+    assert float(st.init_noise_sigma) == 1.0  # VP-space latents
+    assert st.dpm_tables.shape == (5, 4)
+    inv_a, sig_k, c_x, c_d0, c_d1 = np.asarray(st.dpm_tables)
+    # x0-conversion rows match the VP identities at the karras sigmas
+    np.testing.assert_allclose(inv_a, np.sqrt(1 + sig_k**2), rtol=1e-6)
+    # first step is warmup (no history), final step is lower-order to sigma=0
+    assert c_d1[0] == 0.0 and c_d1[-1] == 0.0
+    assert c_x[-1] == 0.0 and c_d0[-1] == 1.0
+    assert (c_d1[1:-1] > 0).all() and (c_d0 > 0).all()
+    # scale_model_input is identity in VP space
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 4, 1)),
+                    jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(sch.scale_model_input(st, x, jnp.asarray(0))),
+        np.asarray(x))
+
+
+def test_dpmpp_exact_for_point_mass():
+    """With the exact epsilon of a point-mass data distribution
+    (eps = (x - a_t x0)/s_t), the probability-flow ODE is solved EXACTLY by
+    the DPM-Solver++ update — so the trajectory must hit the closed-form VP
+    path at EVERY step and land on x0. Any error in the precomputed
+    c_x/c_d0/c_d1 tables breaks this."""
+    st = sch.make_dpmpp_2m(7)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.normal(size=(1, 6, 6, 2)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=(1, 6, 6, 2)).astype(np.float32))
+    sig_k = np.asarray(st.dpm_tables[1])
+    alpha = 1.0 / np.sqrt(1.0 + sig_k**2)
+    sigma_vp = sig_k * alpha
+    lat = x0 * alpha[0] + noise * sigma_vp[0]  # forward state at step 0
+    prev_x0 = jnp.zeros_like(lat)
+    for i in range(st.num_steps):
+        eps = (lat - alpha[i] * x0) / sigma_vp[i]
+        lat, prev_x0 = sch.multistep_step(st, eps, jnp.asarray(i), lat,
+                                          prev_x0)
+        # every x0 prediction is exact for a point mass
+        np.testing.assert_allclose(np.asarray(prev_x0), np.asarray(x0),
+                                   rtol=2e-4, atol=2e-4)
+        if i < st.num_steps - 1:
+            want = np.asarray(x0) * alpha[i + 1] + np.asarray(noise) * \
+                sigma_vp[i + 1]
+            np.testing.assert_allclose(np.asarray(lat), want, rtol=2e-4,
+                                       atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(x0), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_dpmpp_second_order_matches_reference_recurrence():
+    """Independent restatement of the diffusers 2M recurrence (lambda-space
+    exponential integrator) on a synthetic nonlinear eps model, checked
+    against multistep_step's table-driven form step by step."""
+    num_steps = 6
+    st = sch.make_dpmpp_2m(num_steps)
+    sig_k = np.concatenate([np.asarray(st.dpm_tables[1]), [0.0]])
+    alpha = 1.0 / np.sqrt(1.0 + sig_k[:-1] ** 2)
+    sigma_vp = sig_k[:-1] * alpha
+    lam = -np.log(sig_k[:-1])
+    rng = np.random.default_rng(5)
+    lat_ref = rng.normal(size=(2, 3)).astype(np.float64)
+    lat = jnp.asarray(lat_ref, jnp.float32)
+    prev_x0_j = jnp.zeros_like(lat)
+
+    def model(x, i):  # arbitrary smooth nonlinear "eps"
+        return np.tanh(x) + 0.1 * i
+
+    m_hist = []
+    for i in range(num_steps):
+        eps = model(lat_ref, i)
+        m0 = (lat_ref - sigma_vp[i] * eps) / alpha[i]
+        m_hist.append(m0)
+        if i == num_steps - 1:          # final: first order to sigma=0
+            lat_ref = m0
+        else:
+            h = lam[i + 1] - lam[i]
+            a_t = 1.0 / np.sqrt(1.0 + sig_k[i + 1] ** 2)
+            s_t = sig_k[i + 1] * a_t
+            x_part = (s_t / sigma_vp[i]) * lat_ref
+            d0_part = a_t * (1 - np.exp(-h)) * m0
+            if i == 0:
+                lat_ref = x_part + d0_part
+            else:
+                r0 = (lam[i] - lam[i - 1]) / h
+                d1 = (m0 - m_hist[-2]) / r0
+                lat_ref = x_part + d0_part + 0.5 * a_t * (1 - np.exp(-h)) * d1
+        lat, prev_x0_j = sch.multistep_step(
+            st, jnp.asarray(model(np.asarray(lat, np.float64), i),
+                            jnp.float32),
+            jnp.asarray(i), lat, prev_x0_j)
+        np.testing.assert_allclose(np.asarray(lat), lat_ref, rtol=2e-4,
+                                   atol=2e-4)
