@@ -23,9 +23,31 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from diffsensei_tpu.ops.conv3x3 import conv3x3
 from diffsensei_tpu.ops.groupnorm import groupnorm_silu
 
 Dtype = Any
+
+
+class Conv3x3(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), padding=1)`` that routes
+    wide-channel convs through the shifted-matmul path (``ops/conv3x3.py``;
+    measured faster than XLA's conv on v5e for Cin >= ~900). Identical param
+    names/shapes to ``nn.Conv``, so checkpoints and ports are unaffected."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        y = conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(y.dtype)
 
 
 class FusedGroupNormSiLU(nn.Module):
@@ -111,7 +133,7 @@ class ResnetBlock2D(nn.Module):
         h = FusedGroupNormSiLU(self.norm_num_groups, self.norm_eps,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = Conv3x3(self.out_channels, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
@@ -121,7 +143,7 @@ class ResnetBlock2D(nn.Module):
         h = FusedGroupNormSiLU(self.norm_num_groups, self.norm_eps,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = Conv3x3(self.out_channels, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
@@ -154,7 +176,7 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        return Conv3x3(self.out_channels, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="conv")(x)
 
 
