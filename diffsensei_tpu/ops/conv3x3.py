@@ -32,12 +32,28 @@ from jax import lax
 SHIFTED_MIN_CIN = 900
 
 
+def _xla_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+
+
+@jax.custom_vjp
 def conv3x3_shifted(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """SAME stride-1 3x3 conv, NHWC x HWIO -> NHWC, fp32 accumulation.
 
     Equivalent to ``lax.conv_general_dilated(x, kernel, (1, 1), "SAME")`` up
     to fp32 sum reassociation (the nine partial products are accumulated in
     fp32, like XLA's conv).
+
+    The VJP differentiates through XLA's native conv instead of the nine
+    pad/slice/dot primitives: autodiffing the shifted form measured a 9%
+    train-step regression (132 -> 144 ms at 512^2 fwd+bwd) because the slice
+    gradients materialize nine padded fp32 accumulators, while XLA's
+    conv-transpose gradient kernels are already tuned. The two forwards are
+    the same mathematical function, so XLA-conv's VJP is exactly the shifted
+    forward's VJP.
     """
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
@@ -53,6 +69,19 @@ def conv3x3_shifted(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def _shifted_fwd(x, kernel):
+    return conv3x3_shifted(x, kernel), (x, kernel)
+
+
+def _shifted_bwd(res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(_xla_conv, x, kernel)
+    return vjp(g)
+
+
+conv3x3_shifted.defvjp(_shifted_fwd, _shifted_bwd)
+
+
 def conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
             force: str | None = None) -> jnp.ndarray:
     """Dispatching SAME stride-1 3x3 conv (no bias).
@@ -63,7 +92,4 @@ def conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                    (force is None and x.shape[-1] >= SHIFTED_MIN_CIN))
     if use_shifted:
         return conv3x3_shifted(x, kernel)
-    return lax.conv_general_dilated(
-        x, kernel, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
+    return _xla_conv(x, kernel)
