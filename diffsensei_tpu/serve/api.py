@@ -15,7 +15,7 @@ the bare ``except``-as-OOM handler that returns an unbound variable
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -130,3 +130,33 @@ class DiffSenseiServer:
     def generate_pil(self, req: GenerationRequest) -> List[Image.Image]:
         arr = (self.generate(req) * 255).round().astype(np.uint8)
         return [Image.fromarray(a) for a in arr]
+
+    def warmup(self, sizes: Sequence[Tuple[int, int]],
+               num_inference_steps: Optional[int] = None,
+               conditioned: bool = True, num_samples: int = 1) -> None:
+        """Precompile the serving programs for the given (H, W) sizes.
+
+        One denoise program exists per (bucket, batch, steps) key; a cold
+        bucket costs minutes of XLA compile on first request (then lands in
+        the persistent cache, ``core/cache.py``). Run this at server start
+        for the sizes production will serve. ``conditioned=True`` warms the
+        masked-IP + dialog variant of the program (the unconditioned graph
+        is a different program).
+        """
+        manga = self.pipeline.m.manga
+        zero_ids = {k: jnp.zeros((1, 77), jnp.int32)
+                    for k in ("ids", "neg_ids", "ids_2", "neg_ids_2")}
+        prompt_ids = None if self.pipeline.m.tokenizer is not None \
+            else zero_ids
+        for h, w in sizes:
+            kwargs = dict(height=h, width=w,
+                          num_inference_steps=num_inference_steps,
+                          num_samples=num_samples, rng=jax.random.key(0),
+                          prompt_ids=prompt_ids)
+            if conditioned:
+                kwargs.update(
+                    ip_pixel_values=jnp.zeros(
+                        (manga.max_num_ips, 224, 224, 3), jnp.float32),
+                    ip_bbox=[[0.0, 0.0, 0.5, 0.5]],
+                    dialog_bbox=[[0.1, 0.1, 0.4, 0.3]])
+            self.pipeline("", **kwargs)

@@ -86,6 +86,9 @@ def main(argv=None):
                         choices=["euler_discrete", "ddim", "dpmsolver++"],
                         help="sampler (default: config euler_discrete; "
                              "dpmsolver++ = 2nd-order multistep)")
+    parser.add_argument("--warmup", default=None,
+                        help="comma-separated HxW sizes to precompile before "
+                             "serving, e.g. '1024x1024,768x1024'")
     parser.add_argument("--out", default="panel.png")
     args = parser.parse_args(argv)
 
@@ -140,6 +143,12 @@ def main(argv=None):
         pcfg = dataclasses.replace(pcfg, scheduler=args.scheduler)
     server = DiffSenseiServer(DiffSenseiPipeline(modules, pcfg), agent=agent,
                               mllm_spec=mllm_spec)
+
+    if args.warmup:
+        sizes = [tuple(int(v) for v in hw.split("x"))
+                 for hw in args.warmup.split(",")]
+        print(f"# warming {len(sizes)} bucket program(s)...")
+        server.warmup(sizes, num_inference_steps=args.steps)
 
     chars = [Image.open(p).convert("RGB") for p in args.char_image]
     req = GenerationRequest(

@@ -171,3 +171,14 @@ def test_canvas_to_bboxes():
     arr_canvas = {"image": _np.zeros((200, 100, 3), _np.uint8),
                   "points": [[10, 40, 2, 60, 100, 3]]}
     assert canvas_to_bboxes(arr_canvas) == [[0.1, 0.2, 0.6, 0.5]]
+
+
+def test_server_warmup_precompiles(tiny_server):
+    """warmup() drives the conditioned pipeline for each size without error
+    (compiling the (bucket, steps) programs a production server will hit)."""
+    tiny_server.warmup([(64, 64), (128, 96)], num_inference_steps=2)
+    # a subsequent request at a warmed size still produces a valid panel
+    req = GenerationRequest(height=64, width=64, num_inference_steps=2,
+                            seed=1, prompt_ids=_prompt_ids())
+    imgs = tiny_server.generate(req)
+    assert imgs.ndim == 4 and np.isfinite(imgs).all()
