@@ -84,3 +84,25 @@ def test_conv3x3_module_drop_in_param_layout():
     np.testing.assert_allclose(
         np.asarray(mod.apply(p_ref, x)), np.asarray(ref.apply(p_ref, x)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_module_wide_channel_dispatch_matches_xla():
+    """At Cin >= SHIFTED_MIN_CIN the Conv3x3 module takes the shifted path;
+    its output must match nn.Conv with the same params (fp32, tiny spatial)."""
+    from flax import linen as nn
+
+    from diffsensei_tpu.models.layers import Conv3x3
+    from diffsensei_tpu.ops.conv3x3 import SHIFTED_MIN_CIN
+
+    cin = SHIFTED_MIN_CIN + 60
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 4, 5, cin)), jnp.float32)
+    mod = Conv3x3(8)
+    ref = nn.Conv(8, (3, 3), padding=1)
+    params = ref.init(jax.random.key(1), x)
+    got = np.asarray(mod.apply(params, x))
+    want = np.asarray(ref.apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # and gradients flow through the custom-VJP shifted path
+    g = jax.grad(lambda p: jnp.sum(jnp.tanh(mod.apply(p, x))))(params)
+    assert all(float(jnp.abs(v).sum()) > 0 for v in jax.tree.leaves(g))
