@@ -60,6 +60,10 @@ class UNetConfig:
     manga: MangaConfig = MangaConfig()
     # enable the additive dialog-layout embedding after conv_in (unet.py:86,209)
     use_dialog_embedding: bool = True
+    # LoRA adapters on every attention projection (to_q/k/v/out), the
+    # reference's unet_trained_parameters='lora' mode (train.py:162-174,
+    # self_0.5.yaml:21 rank 128); 0 disables (param tree unchanged)
+    lora_rank: int = 0
 
     @property
     def time_embed_dim(self) -> int:

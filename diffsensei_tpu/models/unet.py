@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from diffsensei_tpu.core.config import UNetConfig
+from diffsensei_tpu.models.lora import LoRADense
 from diffsensei_tpu.models.layers import (
     Downsample2D,
     GEGLUFeedForward,
@@ -60,23 +61,27 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 class SelfAttention(nn.Module):
     """Spatial self-attention (reference ``AttnProcessor2_0``,
-    ``src/models/attention_processor.py:7-96``)."""
+    ``src/models/attention_processor.py:7-96``). ``lora_rank>0`` adds
+    low-rank adapters on every projection (reference ``train.py:162-174``
+    peft targets ``to_k/to_q/to_v/to_out.0`` in all attention modules)."""
 
     heads: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
-        dense = lambda name: nn.Dense(dim, use_bias=False, dtype=self.dtype,
-                                      param_dtype=self.param_dtype, name=name)
+        dense = lambda name: LoRADense(dim, lora_rank=self.lora_rank,
+                                       use_bias=False, dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name=name)
         q = _split_heads(dense("to_q")(x), self.heads)
         k = _split_heads(dense("to_k")(x), self.heads)
         v = _split_heads(dense("to_v")(x), self.heads)
         o = _merge_heads(multi_head_attention(q, k, v))
-        return nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="to_out")(o)
+        return LoRADense(dim, lora_rank=self.lora_rank, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="to_out")(o)
 
 
 class MangaCrossAttention(nn.Module):
@@ -94,6 +99,7 @@ class MangaCrossAttention(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ctx_text: jnp.ndarray,
@@ -101,23 +107,31 @@ class MangaCrossAttention(nn.Module):
                  ip_bias: Optional[jnp.ndarray] = None,
                  ip_scale: jnp.ndarray | float = 1.0) -> jnp.ndarray:
         dim = x.shape[-1]
-        dense = lambda name: nn.Dense(dim, use_bias=False, dtype=self.dtype,
-                                      param_dtype=self.param_dtype, name=name)
+        # LoRA wraps the frozen base projections only; the IP projections
+        # (to_k_ip/to_v_ip) are already the trainable "new" params and the
+        # reference peft targets exclude them (suffix match on to_k/to_q/
+        # to_v/to_out.0, train.py:171-173)
+        dense = lambda name: LoRADense(dim, lora_rank=self.lora_rank,
+                                       use_bias=False, dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name=name)
+        ip_dense = lambda name: nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name=name)
         q = _split_heads(dense("to_q")(x), self.heads)
         k = _split_heads(dense("to_k")(ctx_text), self.heads)
         v = _split_heads(dense("to_v")(ctx_text), self.heads)
         h = multi_head_attention(q, k, v)
 
         if ctx_ip is not None:
-            k_ip = _split_heads(dense("to_k_ip")(ctx_ip), self.heads)
-            v_ip = _split_heads(dense("to_v_ip")(ctx_ip), self.heads)
+            k_ip = _split_heads(ip_dense("to_k_ip")(ctx_ip), self.heads)
+            v_ip = _split_heads(ip_dense("to_v_ip")(ctx_ip), self.heads)
             bias = None if ip_bias is None else ip_bias[:, None, :, :]
             h_ip = multi_head_attention(q, k_ip, v_ip, bias=bias)
             h = h + jnp.asarray(ip_scale, h.dtype) * h_ip
 
         o = _merge_heads(h)
-        return nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="to_out")(o)
+        return LoRADense(dim, lora_rank=self.lora_rank, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="to_out")(o)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -126,14 +140,17 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x, ctx_text, ctx_ip, ip_bias, ip_scale):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
         x = x + SelfAttention(self.heads, self.dtype, self.param_dtype,
+                              lora_rank=self.lora_rank,
                               name="attn1")(ln("norm1")(x))
         x = x + MangaCrossAttention(self.heads, self.dtype, self.param_dtype,
+                                    lora_rank=self.lora_rank,
                                     name="attn2")(
             ln("norm2")(x), ctx_text, ctx_ip, ip_bias, ip_scale)
         x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype,
@@ -157,6 +174,7 @@ class Transformer2D(nn.Module):
     norm_num_groups: int = 32
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x, ctx_text, ctx_ip, ip_bias, ip_scale):
@@ -170,6 +188,7 @@ class Transformer2D(nn.Module):
                      name="proj_in")(x)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.heads, self.dtype, self.param_dtype,
+                                      lora_rank=self.lora_rank,
                                       name=f"blocks_{i}")(
                 x, ctx_text, ctx_ip, ip_bias, ip_scale)
         x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -214,6 +233,7 @@ class UNetMangaModel(nn.Module):
                  dialog_bbox=None):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        tkw = dict(kw, lora_rank=cfg.lora_rank)
         ResBlock = nn.remat(ResnetBlock2D) if self.remat_blocks \
             else ResnetBlock2D
         TfmBlock = nn.remat(Transformer2D) if self.remat_blocks \
@@ -264,7 +284,7 @@ class UNetMangaModel(nn.Module):
                                   name=f"down_{level}_resnet_{j}", **kw)(x, temb)
                 if tlayers[level] > 0:
                     x = TfmBlock(tlayers[level], heads, cfg.norm_num_groups,
-                                      name=f"down_{level}_attn_{j}", **kw)(
+                                      name=f"down_{level}_attn_{j}", **tkw)(
                         x, *attn_args(level))
                 skips.append(x)
             if level < n_levels - 1:
@@ -276,7 +296,7 @@ class UNetMangaModel(nn.Module):
         x = ResBlock(mid_ch, cfg.norm_num_groups,
                           name="mid_resnet_0", **kw)(x, temb)
         x = TfmBlock(cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
-                          cfg.norm_num_groups, name="mid_attn", **kw)(
+                          cfg.norm_num_groups, name="mid_attn", **tkw)(
             x, *attn_args(n_levels - 1))
         x = ResBlock(mid_ch, cfg.norm_num_groups,
                           name="mid_resnet_1", **kw)(x, temb)
@@ -292,7 +312,7 @@ class UNetMangaModel(nn.Module):
                                   name=f"up_{rev}_resnet_{j}", **kw)(x, temb)
                 if tlayers[level] > 0:
                     x = TfmBlock(tlayers[level], heads, cfg.norm_num_groups,
-                                      name=f"up_{rev}_attn_{j}", **kw)(
+                                      name=f"up_{rev}_attn_{j}", **tkw)(
                         x, *attn_args(level))
             if level > 0:
                 x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(x)

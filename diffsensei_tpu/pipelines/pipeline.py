@@ -80,11 +80,12 @@ class PipelineModules:
         return self.unet.config.manga
 
     @classmethod
-    def tiny(cls, rng: jax.Array) -> "PipelineModules":
+    def tiny(cls, rng: jax.Array, lora_rank: int = 0) -> "PipelineModules":
         """CPU-testable tiny stack with matching cross-dims (no tokenizers)."""
         manga = MangaConfig(max_num_ips=2, num_vision_tokens=4,
                             num_dummy_tokens=4, max_num_dialogs=3)
-        ucfg = UNetConfig.tiny(manga)
+        ucfg = dataclasses.replace(UNetConfig.tiny(manga),
+                                   lora_rank=lora_rank)
         vcfg = VAEConfig.tiny()
         # two text encoders whose hidden sizes sum to cross_attention_dim
         t1 = dataclasses.replace(TextEncoderConfig.tiny(), hidden_size=16,
@@ -131,7 +132,7 @@ class PipelineModules:
     @classmethod
     def sdxl(cls, rng: Optional[jax.Array] = None,
              dtype: Any = jnp.bfloat16, init: str = "zeros",
-             remat: bool = False) -> "PipelineModules":
+             remat: bool = False, lora_rank: int = 0) -> "PipelineModules":
         """Production-scale stack (reference ``gradio.py:229-283`` geometry):
         SDXL UNet + manga modules, fp32 VAE, CLIP-L + OpenCLIP-bigG text
         encoders, CLIP ViT-H + Magi ViTMAE image encoders, DiffSensei
@@ -145,7 +146,8 @@ class PipelineModules:
         Params are fp32; compute dtype ``dtype`` (VAE always fp32).
         """
         manga = MangaConfig()
-        ucfg = UNetConfig.sdxl(manga)
+        ucfg = dataclasses.replace(UNetConfig.sdxl(manga),
+                                   lora_rank=lora_rank)
         unet = UNetMangaModel(ucfg, dtype=dtype, remat_blocks=remat)
         vae = AutoencoderKL(VAEConfig.sdxl())
         te1 = CLIPTextEncoder(TextEncoderConfig.clip_l(), dtype=dtype)

@@ -56,14 +56,25 @@ def build_models(model_cfg: Dict[str, Any], rng: jax.Array):
     """Build the diffusion stack from the ``model:`` group."""
     from diffsensei_tpu.pipelines.pipeline import PipelineModules
 
+    lora_rank = 0
+    if model_cfg.get("unet_trained_parameters") == "lora":
+        # reference 'lora' mode (train.py:162-174): rank from model.lora_rank
+        # (self_0.5.yaml:21); a zero rank under this mode would train only the
+        # IP projections — reject it loudly.
+        lora_rank = int(model_cfg.get("lora_rank", 0))
+        if lora_rank <= 0:
+            raise ValueError(
+                "unet_trained_parameters: lora requires model.lora_rank > 0")
+
     preset = model_cfg.get("preset", "tiny")
     if preset == "tiny":
-        return PipelineModules.tiny(rng)
+        return PipelineModules.tiny(rng, lora_rank=lora_rank)
     if preset == "sdxl":
         # params start as zeros trees; the ``weights:`` group overlays ported
         # checkpoints (utils.load). ``init: random`` trains from scratch.
         return PipelineModules.sdxl(rng, init=model_cfg.get("init", "zeros"),
-                                    remat=bool(model_cfg.get("remat", False)))
+                                    remat=bool(model_cfg.get("remat", False)),
+                                    lora_rank=lora_rank)
     raise ValueError(f"unknown model preset {preset}")
 
 
@@ -110,6 +121,12 @@ def main(argv=None):
     rng = jax.random.key(int(trainer.get("seed", 0)))
     modules = build_models(cfg.get("model", {}), rng)
     modules = apply_ported_weights(modules, cfg.get("weights", {}))
+    if modules.unet.config.lora_rank > 0 and modules.unet_params is not None:
+        # ported/zeros trees carry missing or dead (all-zero) adapters;
+        # gaussian-init them (reference init_lora_weights, train.py:170)
+        from diffsensei_tpu.models.lora import ensure_lora_init
+        ensure_lora_init(modules.unet_params, modules.unet.config.lora_rank,
+                         seed=int(trainer.get("seed", 0)))
     manga = modules.manga
 
     # data ------------------------------------------------------------------

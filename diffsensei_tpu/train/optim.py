@@ -78,9 +78,15 @@ def unet_trainable_mask(unet_params: Any, mode: str) -> Any:
     * ``new``  — IP projections and the dialog embedding (names containing
       ``_ip`` or ``dialog``, reference ``train.py:204-206``);
     * ``ip``   — IP projections only (``:207-209``);
-    * ``lora`` — reserved for LoRA-wrapped params (reference delegates to
-      requires_grad set by peft; here LoRA params live in a separate tree, so
-      the base UNet freezes entirely).
+    * ``lora`` — LoRA adapter leaves (``lora_a``/``lora_b``, see
+      ``models/lora.py``) plus the IP projections: the reference freezes
+      everything without ``_ip`` in the name, then adds peft adapters with
+      requires_grad on (``train.py:163-174``), so its trainable set under
+      'lora' is exactly {adapters} ∪ {``_ip`` params}.
+
+    Raises if a mode selects zero parameters — a misconfigured run (e.g.
+    mode='lora' on a ``lora_rank=0`` model) must fail loudly, not burn a
+    training budget updating nothing.
     """
     def decide(path, _):
         name = _path_str(path)
@@ -91,10 +97,16 @@ def unet_trainable_mask(unet_params: Any, mode: str) -> Any:
         if mode == "ip":
             return "_ip" in name
         if mode == "lora":
-            return False
+            return ("lora_" in name) or ("_ip" in name)
         raise ValueError(f"unknown unet_trained_parameters mode: {mode}")
 
-    return jax.tree_util.tree_map_with_path(decide, unet_params)
+    mask = jax.tree_util.tree_map_with_path(decide, unet_params)
+    if not any(jax.tree.leaves(mask)):
+        raise ValueError(
+            f"unet_trained_parameters mode '{mode}' selects zero parameters"
+            + (" — the model was built with lora_rank=0; set model.lora_rank"
+               if mode == "lora" else ""))
+    return mask
 
 
 def make_optimizer(
