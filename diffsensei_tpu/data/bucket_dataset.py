@@ -110,14 +110,15 @@ class MangaTrainSizeBucketDataset:
             support.update(cid for cid, c in count.items() if c > 1)
         return list(support)
 
-    def _sample_condition_characters(self, frame_info, support_ids):
+    def _sample_condition_characters(self, frame_info, support_ids, rng=None):
         cfg = self.cfg
+        rng = rng or self.rng
         ids, bbox, page_bbox = [], [], []
         frame_bbox = frame_info["bbox"]
-        for idx in self.rng.sample(range(len(frame_info["characters"])),
-                                   len(frame_info["characters"])):
+        for idx in rng.sample(range(len(frame_info["characters"])),
+                              len(frame_info["characters"])):
             char = frame_info["characters"][idx]
-            if char["id"] in support_ids or self.rng.random() < cfg.i_drop_rate:
+            if char["id"] in support_ids or rng.random() < cfg.i_drop_rate:
                 continue
             ids.append(char["id"])
             bbox.append(geometry.get_relative_bbox(frame_bbox, char["bbox"]))
@@ -129,11 +130,12 @@ class MangaTrainSizeBucketDataset:
             bbox.append([0.0, 0.0, 0.0, 0.0])
         return ids, bbox, page_bbox
 
-    def _load_ip_images(self, ann, ids, page_bbox, page_image):
+    def _load_ip_images(self, ann, ids, page_bbox, page_image, rng=None):
         """Per character: pick ≤max_sources crops from any frame of the page
         (self-condition vs cross-frame via ip_self_condition_rate, reference
         :139-204), random h-flip, CLIP+Magi preprocess; black-image padding."""
         cfg = self.cfg
+        rng = rng or self.rng
         boxes, exists = [], []
         for i, cid in enumerate(ids):
             if cid == -1:
@@ -141,7 +143,7 @@ class MangaTrainSizeBucketDataset:
                 boxes += [None] * cfg.max_num_ip_sources
                 continue
             id_boxes = []
-            if self.rng.random() < cfg.ip_self_condition_rate and i < len(page_bbox):
+            if rng.random() < cfg.ip_self_condition_rate and i < len(page_bbox):
                 x1, y1, x2, y2 = page_bbox[i]
                 if (y2 - y1) > cfg.min_ip_height and (x2 - x1) > cfg.min_ip_width:
                     id_boxes = [page_bbox[i]]
@@ -154,7 +156,7 @@ class MangaTrainSizeBucketDataset:
                             and char.get("type", 0) == 0):
                         candidates.append(char["bbox"])
             take = min(cfg.max_num_ip_sources - len(id_boxes), len(candidates))
-            id_boxes += self.rng.sample(candidates, take)
+            id_boxes += rng.sample(candidates, take)
             exists += [1] * len(id_boxes)
             exists += [0] * (cfg.max_num_ip_sources - len(id_boxes))
             boxes += id_boxes + [None] * (cfg.max_num_ip_sources - len(id_boxes))
@@ -164,7 +166,7 @@ class MangaTrainSizeBucketDataset:
             if flag:
                 crop = page_image.crop(tuple(box))
                 crop = geometry.maybe_flip(crop,
-                                           self.rng.random() < cfg.ip_flip_rate)
+                                           rng.random() < cfg.ip_flip_rate)
             else:
                 crop = Image.new("RGB", (224, 224), (0, 0, 0))
             clip_imgs.append(processors.clip_preprocess(crop))
@@ -176,8 +178,14 @@ class MangaTrainSizeBucketDataset:
                 np.asarray(exists, np.float32).reshape(n, s))
 
     # -- sample build (reference :210-298) -------------------------------------
-    def get_sample(self, bucket_key: Tuple[int, int], sample_idx: int) -> Dict:
+    def get_sample(self, bucket_key: Tuple[int, int], sample_idx: int,
+                   rng: Optional[random.Random] = None) -> Dict:
+        """``rng``: per-sample generator — ``batches()`` supplies one derived
+        from (epoch seed, bucket, index) so augmentation draws are identical
+        whether samples are built serially or on the worker pool (a shared
+        ``self.rng`` under a thread pool interleaves nondeterministically)."""
         cfg = self.cfg
+        rng = rng or self.rng
         bh, bw = bucket_key
         entry = self.buckets[bucket_key][sample_idx]
         ann = self.annotations[entry["ann_idx"]]
@@ -195,20 +203,38 @@ class MangaTrainSizeBucketDataset:
         panel, crop_tl = geometry.resize_and_center_crop(panel, (bh, bw))
         pixel_values = processors.panel_transform(panel)
 
-        caption = "" if self.rng.random() < cfg.t_drop_rate \
+        caption = "" if rng.random() < cfg.t_drop_rate \
             else frame_info.get("caption", "")
         ids_1 = np.asarray(self.tokenize(caption), np.int32).reshape(-1)
         ids_2 = np.asarray(self.tokenize_2(caption), np.int32).reshape(-1)
 
         support = self._support_ip_ids(ann)
         char_ids, ip_bbox, page_bbox = self._sample_condition_characters(
-            frame_info, support)
+            frame_info, support, rng)
         clip_imgs, magi_imgs, ip_exists = self._load_ip_images(
-            ann, char_ids, page_bbox, page_image)
+            ann, char_ids, page_bbox, page_image, rng)
+
+        # context image: a random OTHER frame of the page, CLIP-preprocessed,
+        # with c_drop_rate dropout to a black image (reference
+        # dataset_size_bucket.py:264-272, enabled via train.py:256)
+        context = None
+        if cfg.load_context_image:
+            frames = ann["frames"]
+            if len(frames) > 1 and rng.random() >= cfg.c_drop_rate:
+                others = (frames[: entry["frame_idx"]]
+                          + frames[entry["frame_idx"] + 1:])
+                cx1, cy1, cx2, cy2 = rng.choice(others)["bbox"]
+                context_img = page_image.crop((cx1, cy1, cx2, cy2))
+                drop_context = 0.0
+            else:
+                context_img = Image.new("RGB", (224, 224), (0, 0, 0))
+                drop_context = 1.0
+            context = (processors.clip_preprocess(context_img),
+                       np.asarray(drop_context, np.float32))
 
         dialogs = frame_info.get("dialogs", [])
         dialog_bbox = []
-        for idx in self.rng.sample(range(len(dialogs)), len(dialogs)):
+        for idx in rng.sample(range(len(dialogs)), len(dialogs)):
             dialog_bbox.append(geometry.get_relative_bbox(
                 frame_info["bbox"], dialogs[idx]["bbox"]))
             if len(dialog_bbox) >= cfg.max_num_dialogs:
@@ -216,7 +242,7 @@ class MangaTrainSizeBucketDataset:
         while len(dialog_bbox) < cfg.max_num_dialogs:
             dialog_bbox.append([0.0, 0.0, 0.0, 0.0])
 
-        return {
+        sample = {
             "pixel_values": pixel_values.astype(np.float32),
             "text_input_ids": ids_1,
             "text_input_ids_2": ids_2,
@@ -229,6 +255,9 @@ class MangaTrainSizeBucketDataset:
             "crop_coords_top_left": np.asarray(crop_tl, np.float32),
             "target_size": np.asarray([bh, bw], np.float32),
         }
+        if context is not None:
+            sample["context_pixel_values"], sample["drop_context"] = context
+        return sample
 
     # -- batching (reference BucketBatchSampler :488-544) ----------------------
     def bucket_batch_size(self, bucket_key) -> int:
@@ -247,8 +276,10 @@ class MangaTrainSizeBucketDataset:
 
         ``num_workers > 0`` builds each batch's samples on a thread pool (PIL
         decode/resize releases the GIL — the reference's ``8*num_processes``
-        DataLoader workers, ``scripts/train/train.py:236-237``); 0 keeps the
-        bit-deterministic serial path.
+        DataLoader workers, ``scripts/train/train.py:236-237``). Augmentation
+        draws come from a per-sample ``Random(epoch seed, bucket, index)``, so
+        the stream is bit-identical for any worker count — parallel loading
+        never costs exact-resume reproducibility.
 
         Multi-host: every host iterates the SAME epoch plan (same seed) and
         takes rows ``[host_id::num_hosts]`` of each global batch, so the
@@ -257,8 +288,18 @@ class MangaTrainSizeBucketDataset:
         """
         if num_hosts > 1 and any(
                 self.bucket_batch_size(k) % num_hosts for k in self.bucket_keys):
-            raise ValueError("bucket batch sizes must divide num_hosts")
+            raise ValueError(
+                f"bucket batch sizes must be divisible by num_hosts="
+                f"{num_hosts} (got {[self.bucket_batch_size(k) for k in self.bucket_keys]})")
         rng = random.Random(seed)
+        seed_base = seed if seed is not None else rng.randrange(2 ** 31)
+
+        def sample_rng(key: Tuple[int, int], idx: int) -> random.Random:
+            # deterministic in (epoch seed, bucket, sample index); int-only
+            # arithmetic so it is stable across processes/PYTHONHASHSEED
+            return random.Random(
+                ((seed_base * 1_000_003 + key[0]) * 8_191 + key[1])
+                * 1_000_003 + idx)
         plan: List[Tuple[Tuple[int, int], List[int]]] = []
         for key in self.bucket_keys:
             order = list(range(len(self.buckets[key])))
@@ -286,9 +327,11 @@ class MangaTrainSizeBucketDataset:
                 local_mask = mask[host_id::num_hosts]
                 if pool is not None:
                     samples = list(pool.map(
-                        lambda i: self.get_sample(key, i), local))
+                        lambda i: self.get_sample(key, i, sample_rng(key, i)),
+                        local))
                 else:
-                    samples = [self.get_sample(key, i) for i in local]
+                    samples = [self.get_sample(key, i, sample_rng(key, i))
+                               for i in local]
                 batch = {k: np.stack([s[k] for s in samples])
                          for k in samples[0]}
                 batch["sample_mask"] = local_mask

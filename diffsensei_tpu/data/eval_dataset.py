@@ -163,7 +163,13 @@ class MangaInferenceMLLMDataset(MangaEvalMLLMDataset):
         self._page_source_chars: Dict = {}
 
     def _page_key(self, ann) -> str:
-        return ann.get("image_path") or str(id(ann))
+        # fallback key = the annotation's index in self.annotations (stable
+        # for the dataset's lifetime; ``id()`` could alias after GC)
+        if ann.get("image_path"):
+            return ann["image_path"]
+        if not hasattr(self, "_ann_index"):
+            self._ann_index = {id(a): i for i, a in enumerate(self.annotations)}
+        return f"ann-{self._ann_index[id(ann)]}"
 
     def sample_source_characters(self, ann):
         """One (id → bbox) choice per page, cached (reference ``:722-747``)."""

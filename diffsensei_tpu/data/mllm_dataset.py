@@ -137,8 +137,9 @@ class MangaTrainMLLMDataset(MangaTrainSizeBucketDataset):
             magis.append(processors.vit_preprocess(crop))
         return np.stack(clips), np.stack(magis)
 
-    def get_sample(self, bucket_key, sample_idx):
-        sample = super().get_sample(bucket_key, sample_idx)
+    def get_sample(self, bucket_key, sample_idx, rng=None):
+        sample = super().get_sample(bucket_key, sample_idx, rng)
+        rng = rng or self.rng
         entry = self.buckets[bucket_key][sample_idx]
         ann = self.annotations[entry["ann_idx"]]
         frame_info = ann["frames"][entry["frame_idx"]]
@@ -150,7 +151,7 @@ class MangaTrainMLLMDataset(MangaTrainSizeBucketDataset):
             page_image = Image.open(
                 os.path.join(self.image_root, ann["image_path"])).convert("RGB")
         _, _, page_bbox = self._sample_condition_characters(
-            frame_info, self._support_ip_ids(ann))
+            frame_info, self._support_ip_ids(ann), rng)
         tclip, tmagi = self._load_target_ip_images(frame_info, page_bbox,
                                                    page_image)
         sample["target_ip_pixel_values"] = tclip

