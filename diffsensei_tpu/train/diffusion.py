@@ -141,6 +141,7 @@ def make_stage1_step(unet, frozen: FrozenDiffusionStack,
             state.params, batch, rng)
         return state.apply_gradients(grads), {**metrics, "loss": loss}
 
+    step.loss_fn = loss_fn   # exposed for equivalence tests / diagnostics
     return step
 
 
@@ -264,4 +265,5 @@ def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
             state.params, batch, rng)
         return state.apply_gradients(grads), {**metrics, "loss": loss}
 
+    step.loss_fn = loss_fn   # exposed for equivalence tests / diagnostics
     return step

@@ -217,3 +217,54 @@ def test_stage2_step_sharded_on_mesh(tiny_stack, eight_devices):
         state2, metrics = jax.jit(step_fn)(state, batch, jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_gradient_accumulation_matches_mean_gradient_step(tiny_stack):
+    """The CLI's optax.MultiSteps wiring (cli.py accum>1) reproduces the
+    reference ``accelerator.accumulate`` semantics (train.py:336): K micro
+    steps on batch B apply exactly one optimizer update with the mean of the
+    K micro gradients — which IS the gradient of the K·B batch, since the
+    diffusion loss is a per-sample mean (VERDICT r2 weak #4)."""
+    import optax
+
+    modules, frozen, manga = tiny_stack
+    schedule = DDPMSchedule()
+    step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
+                               schedule, Stage2Config(manga=manga))
+    params = {"unet": modules.unet_params,
+              "resampler": modules.resampler_params}
+
+    rngs = [jax.random.key(11), jax.random.key(12)]
+    batches = [_stage2_batch(manga, b=2), _stage2_batch(manga, b=2)]
+    batches[1] = {k: v[::-1] if hasattr(v, "shape") else v
+                  for k, v in batches[1].items()}     # distinct micro-batches
+
+    # accumulated path: MultiSteps(K=2) through the real train step. SGD for
+    # the inner tx: Adam's update is (a) scale-invariant — it cannot tell
+    # mean from sum accumulation — and (b) ill-conditioned at near-zero
+    # gradient coordinates (m/sqrt(v) swings by O(lr) under 1-ulp input
+    # changes), so SGD is the optimizer that actually tests the semantics.
+    tx = optax.sgd(1e-3)
+    state = TrainState.create(params, optax.MultiSteps(tx, every_k_schedule=2))
+    mid, _ = jax.jit(step_fn)(state, batches[0], rngs[0])
+    # micro step 1 must NOT touch params
+    same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)),
+                        state.params, mid.params)
+    assert all(jax.tree.leaves(same)), "MultiSteps applied an early update"
+    final, _ = jax.jit(step_fn)(mid, batches[1], rngs[1])
+
+    # reference path: one update with the mean of the two micro gradients
+    grad_fn = jax.grad(lambda p, b, r: step_fn.loss_fn(p, b, r)[0])
+    g1 = grad_fn(params, batches[0], rngs[0])
+    g2 = grad_fn(params, batches[1], rngs[1])
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    updates, _ = tx.update(g_mean, tx.init(params), params)
+    expected = optax.apply_updates(params, updates)
+
+    flat_a = jax.tree.leaves(final.params)
+    flat_b = jax.tree.leaves(expected)
+    # MultiSteps keeps a RUNNING mean (acc + (g-acc)/k) vs the closed-form
+    # (g1+g2)/2 — equal up to last-ulp fp32 rounding, scaled by lr
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
