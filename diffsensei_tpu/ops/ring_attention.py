@@ -98,13 +98,12 @@ def ring_attention_sharded(q, k, v, mesh, axis_name: str = "data",
 
     S must divide the mesh axis size; inputs/outputs are sharded on S.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, None, axis_name, None)
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(ring_flash_attention, axis_name=axis_name,
                           sm_scale=sm_scale),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v)

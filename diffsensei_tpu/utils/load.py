@@ -188,6 +188,10 @@ def load_weights_any(modules, source: str):
         import jax
 
         from diffsensei_tpu.train.checkpoint import load_weights
+        if modules.unet_params is None or modules.resampler_params is None:
+            # Orbax needs a structure template; materialize zero trees for
+            # the init="none" serving fast path (serve/cli.py) before restore
+            modules.fill_missing_params()
         template = {"unet": modules.unet_params,
                     "resampler": modules.resampler_params}
         template = {k: v for k, v in template.items() if v is not None}
