@@ -224,6 +224,16 @@ class UNetMangaModel(nn.Module):
     # training on one 16 GB chip (outer jax.checkpoint alone does not bound
     # the backward's peak memory)
     remat_blocks: bool = False
+    # selective-checkpoint policy for the TRANSFORMER blocks (resnets always
+    # fully remat — their conv activations dominate memory at levels 0-1):
+    #   None            full recompute (lowest memory; the 16 GB default)
+    #   "dots_deepest"  save matmul outputs (qkv/out/GEGLU) in the deepest
+    #                   level's blocks only — 60 of 70 attention layers live
+    #                   there but their seq is the shortest, so the saved
+    #                   tensors are small while the pruned replay is most of
+    #                   the transformer fwd
+    #   "dots"          save matmul outputs in every transformer block
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
@@ -236,8 +246,19 @@ class UNetMangaModel(nn.Module):
         tkw = dict(kw, lora_rank=cfg.lora_rank)
         ResBlock = nn.remat(ResnetBlock2D) if self.remat_blocks \
             else ResnetBlock2D
-        TfmBlock = nn.remat(Transformer2D) if self.remat_blocks \
-            else Transformer2D
+        n_deepest = len(cfg.block_out_channels) - 1
+
+        def tfm_block(level):
+            if not self.remat_blocks:
+                return Transformer2D
+            if self.remat_policy == "dots" or (
+                    self.remat_policy == "dots_deepest" and level == n_deepest):
+                import jax
+                return nn.remat(
+                    Transformer2D,
+                    policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
+            return nn.remat(Transformer2D)
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -283,8 +304,9 @@ class UNetMangaModel(nn.Module):
                 x = ResBlock(ch, cfg.norm_num_groups,
                                   name=f"down_{level}_resnet_{j}", **kw)(x, temb)
                 if tlayers[level] > 0:
-                    x = TfmBlock(tlayers[level], heads, cfg.norm_num_groups,
-                                      name=f"down_{level}_attn_{j}", **tkw)(
+                    x = tfm_block(level)(
+                        tlayers[level], heads, cfg.norm_num_groups,
+                        name=f"down_{level}_attn_{j}", **tkw)(
                         x, *attn_args(level))
                 skips.append(x)
             if level < n_levels - 1:
@@ -295,8 +317,9 @@ class UNetMangaModel(nn.Module):
         mid_ch = cfg.block_out_channels[-1]
         x = ResBlock(mid_ch, cfg.norm_num_groups,
                           name="mid_resnet_0", **kw)(x, temb)
-        x = TfmBlock(cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
-                          cfg.norm_num_groups, name="mid_attn", **tkw)(
+        x = tfm_block(n_levels - 1)(
+            cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
+            cfg.norm_num_groups, name="mid_attn", **tkw)(
             x, *attn_args(n_levels - 1))
         x = ResBlock(mid_ch, cfg.norm_num_groups,
                           name="mid_resnet_1", **kw)(x, temb)
@@ -311,8 +334,9 @@ class UNetMangaModel(nn.Module):
                 x = ResBlock(ch, cfg.norm_num_groups,
                                   name=f"up_{rev}_resnet_{j}", **kw)(x, temb)
                 if tlayers[level] > 0:
-                    x = TfmBlock(tlayers[level], heads, cfg.norm_num_groups,
-                                      name=f"up_{rev}_attn_{j}", **tkw)(
+                    x = tfm_block(level)(
+                        tlayers[level], heads, cfg.norm_num_groups,
+                        name=f"up_{rev}_attn_{j}", **tkw)(
                         x, *attn_args(level))
             if level > 0:
                 x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(x)

@@ -132,7 +132,8 @@ class PipelineModules:
     @classmethod
     def sdxl(cls, rng: Optional[jax.Array] = None,
              dtype: Any = jnp.bfloat16, init: str = "zeros",
-             remat: bool = False, lora_rank: int = 0) -> "PipelineModules":
+             remat: bool = False, lora_rank: int = 0,
+             remat_policy: Optional[str] = None) -> "PipelineModules":
         """Production-scale stack (reference ``gradio.py:229-283`` geometry):
         SDXL UNet + manga modules, fp32 VAE, CLIP-L + OpenCLIP-bigG text
         encoders, CLIP ViT-H + Magi ViTMAE image encoders, DiffSensei
@@ -148,7 +149,8 @@ class PipelineModules:
         manga = MangaConfig()
         ucfg = dataclasses.replace(UNetConfig.sdxl(manga),
                                    lora_rank=lora_rank)
-        unet = UNetMangaModel(ucfg, dtype=dtype, remat_blocks=remat)
+        unet = UNetMangaModel(ucfg, dtype=dtype, remat_blocks=remat,
+                              remat_policy=remat_policy)
         vae = AutoencoderKL(VAEConfig.sdxl())
         te1 = CLIPTextEncoder(TextEncoderConfig.clip_l(), dtype=dtype)
         te2 = CLIPTextEncoder(TextEncoderConfig.clip_bigg(), dtype=dtype)

@@ -74,7 +74,8 @@ def build_models(model_cfg: Dict[str, Any], rng: jax.Array):
         # checkpoints (utils.load). ``init: random`` trains from scratch.
         return PipelineModules.sdxl(rng, init=model_cfg.get("init", "zeros"),
                                     remat=bool(model_cfg.get("remat", False)),
-                                    lora_rank=lora_rank)
+                                    lora_rank=lora_rank,
+                                    remat_policy=model_cfg.get("remat_policy"))
     raise ValueError(f"unknown model preset {preset}")
 
 
@@ -187,7 +188,7 @@ def main(argv=None):
         min_lr_ratio=float(lr_cfg.get("min_lr_ratio", 0.0)))
 
     if stage == "t2i":
-        step_fn = make_stage1_step(modules.unet, frozen, schedule,
+        step_fn = make_stage1_step(modules.unet, schedule,
                                    remat_unet=mcfg.get("remat", False))
         params = modules.unet_params
         mask = unet_trainable_mask(params,
@@ -202,9 +203,9 @@ def main(argv=None):
             ip_contrastive_weight=mcfg.get("ip_contrastive_loss_weight", 0.1),
             remat_unet=mcfg.get("remat", False))
         mode = mcfg.get("unet_trained_parameters", "new")
+        step_fn = make_stage2_step(modules.unet, modules.resampler,
+                                   schedule, s2)
         if mode == "full":
-            step_fn = make_stage2_step(modules.unet, modules.resampler,
-                                       frozen, schedule, s2)
             params = {"unet": modules.unet_params,
                       "resampler": modules.resampler_params}
             mask = None
@@ -213,9 +214,7 @@ def main(argv=None):
             # trainable subtree (no optax masking needed)
             umask = unet_trainable_mask(modules.unet_params, mode)
             t_flat, f_flat = partition_params(modules.unet_params, umask)
-            step_fn = make_stage2_step(modules.unet, modules.resampler,
-                                       frozen, schedule, s2,
-                                       frozen_unet_flat=f_flat)
+            frozen = frozen.replace(unet_frozen_flat=f_flat)
             params = {"unet": t_flat,
                       "resampler": modules.resampler_params}
             mask = None
@@ -278,9 +277,10 @@ def main(argv=None):
         s3 = Stage3Config(manga=manga,
                           mllm_loss_weight=mcfg.get("mllm_loss_weight", 1.0),
                           remat_unet=mcfg.get("remat", False))
+        frozen = frozen.replace(unet_params=modules.unet_params,
+                                resampler_params=modules.resampler_params)
         step_fn = make_stage3_step(
-            modules.unet, modules.unet_params, modules.resampler,
-            modules.resampler_params, agent, frozen, schedule, s3)
+            modules.unet, modules.resampler, agent, schedule, s3)
         params = {"llm": agent.llm_params,
                   "input_resampler": agent.input_resampler_params,
                   "output_resampler": agent.output_resampler_params}
@@ -317,7 +317,7 @@ def main(argv=None):
         resume=bool(trainer.get("resume", False)),
     )
     with mesh:
-        run_training(step_fn, state, iter(loader), run_cfg)
+        run_training(step_fn, state, iter(loader), run_cfg, frozen=frozen)
 
 
 if __name__ == "__main__":

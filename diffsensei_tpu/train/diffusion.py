@@ -56,21 +56,35 @@ class TrainState(struct.PyTreeNode):
                             opt_state=opt_state)
 
 
-@dataclasses.dataclass(frozen=True)
-class FrozenDiffusionStack:
-    """Frozen modules + params used by the train step (no grads flow here)."""
+class FrozenDiffusionStack(struct.PyTreeNode):
+    """Frozen modules + params used by the train step (no grads flow here).
 
-    vae: Any
-    vae_params: Any
-    text_encoder: Any
-    text_encoder_params: Any
-    text_encoder_2: Any
-    text_encoder_2_params: Any
-    image_encoder: Any = None
+    A PYTREE: the param trees are leaves so the stack is passed to the jitted
+    step as a traced ARGUMENT, never a closure. Closing over multi-GB frozen
+    trees bakes them into the jaxpr as constants — XLA then materializes a
+    second on-device copy of every frozen encoder (8.3 GB at SDXL scale,
+    measured OOM on a 16 GB v5e). Module objects and ``vae_scaling`` are
+    static metadata (hashable; changing them retraces).
+
+    ``unet_params``/``resampler_params`` carry the stage-3 frozen diffusion
+    stack; ``unet_frozen_flat`` carries the non-trainable flat UNet subtree of
+    stage-2 partitioned modes (``optim.partition_params``).
+    """
+
+    vae_params: Any = None
+    text_encoder_params: Any = None
+    text_encoder_2_params: Any = None
     image_encoder_params: Any = None
-    magi_encoder: Any = None
     magi_encoder_params: Any = None
-    vae_scaling: float = 0.13025
+    unet_params: Any = None
+    resampler_params: Any = None
+    unet_frozen_flat: Any = None
+    vae: Any = struct.field(pytree_node=False, default=None)
+    text_encoder: Any = struct.field(pytree_node=False, default=None)
+    text_encoder_2: Any = struct.field(pytree_node=False, default=None)
+    image_encoder: Any = struct.field(pytree_node=False, default=None)
+    magi_encoder: Any = struct.field(pytree_node=False, default=None)
+    vae_scaling: float = struct.field(pytree_node=False, default=0.13025)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,12 +133,14 @@ def _time_ids(batch) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Stage 1: t2i fine-tune (train_t2i.py)
 # ---------------------------------------------------------------------------
-def make_stage1_step(unet, frozen: FrozenDiffusionStack,
-                     schedule: DDPMSchedule,
+def make_stage1_step(unet, schedule: DDPMSchedule,
                      remat_unet: bool = False) -> Callable:
+    """Returns ``step(state, frozen, batch, rng) -> (state, metrics)`` —
+    ``frozen`` is a :class:`FrozenDiffusionStack` traced argument (see its
+    docstring for why it must not be closed over)."""
     unet_apply = jax.checkpoint(unet.apply) if remat_unet else unet.apply
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, frozen, batch, rng):
         latents = _encode_latents(frozen, batch["pixel_values"],
                                   jax.random.fold_in(rng, 0))
         noise, t, noisy = _sample_noise_and_t(schedule, latents,
@@ -136,9 +152,9 @@ def make_stage1_step(unet, frozen: FrozenDiffusionStack,
         loss = losses.diffusion_loss(pred, noise, batch.get("sample_mask"))
         return loss, {"loss_diffusion": loss}
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, frozen: FrozenDiffusionStack, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+            state.params, frozen, batch, rng)
         return state.apply_gradients(grads), {**metrics, "loss": loss}
 
     step.loss_fn = loss_fn   # exposed for equivalence tests / diagnostics
@@ -148,16 +164,18 @@ def make_stage1_step(unet, frozen: FrozenDiffusionStack,
 # ---------------------------------------------------------------------------
 # Stage 2: IP-conditioned training (train.py)
 # ---------------------------------------------------------------------------
-def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
-                     schedule: DDPMSchedule, cfg: Stage2Config,
-                     frozen_unet_flat=None) -> Callable:
+def make_stage2_step(unet, resampler, schedule: DDPMSchedule,
+                     cfg: Stage2Config) -> Callable:
     """Trainable params tree: ``{"unet": ..., "resampler": ...}``.
 
-    With ``frozen_unet_flat`` (from ``optim.partition_params``), the state's
-    ``params["unet"]`` holds ONLY the trainable flat subtree and frozen UNet
-    weights close over the step — gradients are never allocated for them
-    (~5 GB saved at SDXL scale under the default 'new' selection mode), and
-    no optax masking is needed.
+    Returns ``step(state, frozen, batch, rng)``; ``frozen`` is a traced
+    argument (never closed over — see :class:`FrozenDiffusionStack`).
+
+    With ``frozen.unet_frozen_flat`` set (from ``optim.partition_params``),
+    the state's ``params["unet"]`` holds ONLY the trainable flat subtree and
+    frozen UNet weights ride the frozen stack — gradients are never allocated
+    for them (~5 GB saved at SDXL scale under the default 'new' selection
+    mode), and no optax masking is needed.
 
     Expected batch (shapes per SURVEY §2.3, collate at
     ``dataset_size_bucket.py:303-334``):
@@ -169,13 +187,13 @@ def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
     manga = cfg.manga
     unet_apply = jax.checkpoint(unet.apply) if cfg.remat_unet else unet.apply
 
-    def _unet_params(params):
-        if frozen_unet_flat is None:
+    def _unet_params(params, frozen):
+        if frozen.unet_frozen_flat is None:
             return params["unet"]
         from diffsensei_tpu.train.optim import merge_partitioned
-        return merge_partitioned(params["unet"], frozen_unet_flat)
+        return merge_partitioned(params["unet"], frozen.unet_frozen_flat)
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, frozen, batch, rng):
         b, i, s = batch["ip_exists"].shape
 
         latents = _encode_latents(frozen, batch["pixel_values"],
@@ -251,7 +269,8 @@ def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
             for level in attention_levels(unet.config)
         }
 
-        pred = unet_apply(_unet_params(params), noisy, t.astype(jnp.float32),
+        pred = unet_apply(_unet_params(params, frozen), noisy,
+                          t.astype(jnp.float32),
                           ctx, pooled, _time_ids(batch),
                           ip_hidden_states=ip_tokens, ip_attn_bias=biases,
                           ip_scale=1.0, dialog_bbox=batch["dialog_bbox"])
@@ -260,9 +279,9 @@ def make_stage2_step(unet, resampler, frozen: FrozenDiffusionStack,
         loss = loss_d + cfg.ip_contrastive_weight * loss_c
         return loss, {"loss_diffusion": loss_d, "loss_ip_contrastive": loss_c}
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, frozen: FrozenDiffusionStack, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+            state.params, frozen, batch, rng)
         return state.apply_gradients(grads), {**metrics, "loss": loss}
 
     step.loss_fn = loss_fn   # exposed for equivalence tests / diagnostics

@@ -43,25 +43,30 @@ class Stage3Config:
     remat_unet: bool = False
 
 
-def make_stage3_step(unet, unet_params, resampler, resampler_params, agent,
-                     frozen: FrozenDiffusionStack, schedule: DDPMSchedule,
+def make_stage3_step(unet, resampler, agent, schedule: DDPMSchedule,
                      cfg: Stage3Config) -> Callable:
     """Batch = stage-2 fields + target char crops + MLLM supervision:
       target_ip_pixel_values / target_magi_pixel_values: [B, I, 224, 224, 3];
       mllm_input_ids / mllm_labels: [B, L]; ids_cmp_mask / ids_gen_mask: [B, L];
       embeds_cmp_mask / embeds_gen_mask: [B, 2].
+
+    Returns ``step(state, frozen, batch, rng)``. The frozen diffusion stack —
+    including the frozen UNet (``frozen.unet_params``) and Resampler
+    (``frozen.resampler_params``) — is a traced argument, never a closure
+    (see :class:`FrozenDiffusionStack`: closed-over trees become multi-GB
+    program constants).
     """
     manga = cfg.manga
     unet_apply = jax.checkpoint(unet.apply) if cfg.remat_unet else unet.apply
 
-    def encode_chars(crops, magi_crops):
+    def encode_chars(frozen, crops, magi_crops):
         clip_h, _ = frozen.image_encoder.apply(frozen.image_encoder_params,
                                                crops)
         _, magi_cls = frozen.magi_encoder.apply(frozen.magi_encoder_params,
                                                 magi_crops)
         return jax.lax.stop_gradient(clip_h), jax.lax.stop_gradient(magi_cls)
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, frozen, batch, rng):
         b, i, s = batch["ip_exists"].shape
         d = manga.num_dummy_tokens
         iv = i * manga.num_vision_tokens
@@ -76,12 +81,12 @@ def make_stage3_step(unet, unet_params, resampler, resampler_params, agent,
             (b * i * s,) + batch["ip_pixel_values"].shape[3:])
         magi = batch["magi_pixel_values"].reshape(
             (b * i * s,) + batch["magi_pixel_values"].shape[3:])
-        clip_h, magi_cls = encode_chars(crops, magi)
+        clip_h, magi_cls = encode_chars(frozen, crops, magi)
         p, dc = clip_h.shape[-2:]
         clip_h = clip_h.reshape(b, i, s, p, dc).transpose(0, 2, 1, 3, 4)
         magi_cls = magi_cls.reshape(b, i, s, -1).transpose(0, 2, 1, 3)
         image_embeds = resampler.apply(
-            resampler_params, clip_h.reshape(b * s, i, p, dc),
+            frozen.resampler_params, clip_h.reshape(b * s, i, p, dc),
             magi_cls.reshape(b * s, i, -1))
         image_embeds = jax.lax.stop_gradient(image_embeds)
 
@@ -89,9 +94,9 @@ def make_stage3_step(unet, unet_params, resampler, resampler_params, agent,
             (b * i,) + batch["target_ip_pixel_values"].shape[2:])
         tmagi = batch["target_magi_pixel_values"].reshape(
             (b * i,) + batch["target_magi_pixel_values"].shape[2:])
-        tclip_h, tmagi_cls = encode_chars(tcrops, tmagi)
+        tclip_h, tmagi_cls = encode_chars(frozen, tcrops, tmagi)
         target_embeds = resampler.apply(
-            resampler_params, tclip_h.reshape(b, i, p, dc),
+            frozen.resampler_params, tclip_h.reshape(b, i, p, dc),
             tmagi_cls.reshape(b, i, -1))
         target_embeds = jax.lax.stop_gradient(target_embeds)
 
@@ -127,7 +132,7 @@ def make_stage3_step(unet, unet_params, resampler, resampler_params, agent,
                 manga.num_vision_tokens, manga.num_dummy_tokens)
             for level in attention_levels(unet.config)
         }
-        pred = unet_apply(unet_params, noisy, t.astype(jnp.float32), ctx,
+        pred = unet_apply(frozen.unet_params, noisy, t.astype(jnp.float32), ctx,
                           pooled, _time_ids(batch),
                           ip_hidden_states=image_embeds, ip_attn_bias=biases,
                           ip_scale=1.0, dialog_bbox=batch["dialog_bbox"])
@@ -138,9 +143,10 @@ def make_stage3_step(unet, unet_params, resampler, resampler_params, agent,
                        "loss_rec": aux["rec_loss"],
                        "loss_mllm": agent_total}
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, frozen: FrozenDiffusionStack, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+            state.params, frozen, batch, rng)
         return state.apply_gradients(grads), {**metrics, "loss": loss}
 
+    step.loss_fn = loss_fn   # exposed for equivalence tests / diagnostics
     return step

@@ -48,8 +48,11 @@ class RunConfig:
 
 def run_training(step_fn: Callable, state: TrainState,
                  batches: Iterable[Any], cfg: RunConfig,
-                 donate_state: bool = True) -> TrainState:
-    """Drive ``step_fn(state, batch, rng) -> (state, metrics)`` to completion."""
+                 donate_state: bool = True, frozen=None) -> TrainState:
+    """Drive ``step_fn(state, frozen, batch, rng) -> (state, metrics)`` to
+    completion. ``frozen`` (a :class:`FrozenDiffusionStack` or None) is passed
+    through as a traced argument every step — per-call cost is pointer
+    passing, and the multi-GB frozen trees never become program constants."""
     jit_step = jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
     ckpt = CheckpointManager(cfg.log_dir, cfg.checkpoints_total_limit)
     metrics_log = MetricsLogger(cfg.log_dir)
@@ -88,7 +91,7 @@ def run_training(step_fn: Callable, state: TrainState,
             break
         timer.data_ready()
         step_rng = jax.random.fold_in(rng, step)
-        state, metrics = jit_step(state, batch, step_rng)
+        state, metrics = jit_step(state, frozen, batch, step_rng)
         if (step + 1) % cfg.log_every == 0 or step + 1 == cfg.max_train_steps:
             jax.block_until_ready(metrics)
             timer.step_done()

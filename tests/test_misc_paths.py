@@ -66,11 +66,11 @@ def test_stage2_linear_projection_path(modules):
         jnp.zeros((1, manga.max_num_ips, magi_dim)))
 
     cfg = Stage2Config(manga=manga, ip_adapter_plus=False)
-    step_fn = make_stage2_step(modules.unet, proj, frozen, DDPMSchedule(), cfg)
+    step_fn = make_stage2_step(modules.unet, proj, DDPMSchedule(), cfg)
     state = TrainState.create(
         {"unet": modules.unet_params, "resampler": proj_params},
         make_optimizer(1e-4))
-    state2, metrics = jax.jit(step_fn)(state, _stage2_batch(manga),
+    state2, metrics = jax.jit(step_fn)(state, frozen, _stage2_batch(manga),
                                        jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))
 

@@ -38,21 +38,22 @@ def test_partitioned_step_matches_masked_step(tiny_stack):  # noqa: F811
     mask = {"unet": unet_trainable_mask(modules.unet_params, "new"),
             "resampler": jax.tree.map(lambda _: True,
                                       modules.resampler_params)}
-    step_m = make_stage2_step(modules.unet, modules.resampler, frozen,
+    step_m = make_stage2_step(modules.unet, modules.resampler,
                               schedule, cfg)
     state_m = TrainState.create(
         {"unet": modules.unet_params, "resampler": modules.resampler_params},
         make_optimizer(1e-3, trainable_mask=mask))
-    state_m2, metrics_m = jax.jit(step_m)(state_m, batch, rng)
+    state_m2, metrics_m = jax.jit(step_m)(state_m, frozen, batch, rng)
 
     # partitioned variant (trainable subtree only)
     t_flat, f_flat = partition_params(modules.unet_params, mask["unet"])
-    step_p = make_stage2_step(modules.unet, modules.resampler, frozen,
-                              schedule, cfg, frozen_unet_flat=f_flat)
+    step_p = make_stage2_step(modules.unet, modules.resampler,
+                              schedule, cfg)
+    frozen_p = frozen.replace(unet_frozen_flat=f_flat)
     state_p = TrainState.create(
         {"unet": t_flat, "resampler": modules.resampler_params},
         make_optimizer(1e-3))
-    state_p2, metrics_p = jax.jit(step_p)(state_p, batch, rng)
+    state_p2, metrics_p = jax.jit(step_p)(state_p, frozen_p, batch, rng)
 
     np.testing.assert_allclose(float(metrics_m["loss"]),
                                float(metrics_p["loss"]), rtol=1e-5)

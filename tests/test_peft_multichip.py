@@ -158,9 +158,10 @@ def test_stage3_step_on_data_model_mesh(eight_devices):
         magi_encoder=modules.magi_encoder,
         magi_encoder_params=modules.magi_encoder_params,
     )
-    step_fn = make_stage3_step(modules.unet, modules.unet_params,
-                               modules.resampler, modules.resampler_params,
-                               agent, frozen, DDPMSchedule(),
+    frozen = frozen.replace(unet_params=modules.unet_params,
+                            resampler_params=modules.resampler_params)
+    step_fn = make_stage3_step(modules.unet, modules.resampler, agent,
+                               DDPMSchedule(),
                                Stage3Config(manga=manga, mllm_loss_weight=0.5))
     params = {"llm": agent.llm_params,
               "input_resampler": agent.input_resampler_params,
@@ -169,7 +170,8 @@ def test_stage3_step_on_data_model_mesh(eight_devices):
 
     # replicated single-device baseline
     state = TrainState.create(params, make_optimizer(1e-3))
-    ref_state, ref_metrics = jax.jit(step_fn)(state, batch, jax.random.key(0))
+    ref_state, ref_metrics = jax.jit(step_fn)(state, frozen, batch,
+                                              jax.random.key(0))
 
     mesh = make_mesh(MeshSpec(data=4, model=2), eight_devices)
     sharded = {
@@ -185,7 +187,7 @@ def test_stage3_step_on_data_model_mesh(eight_devices):
     state_s = TrainState.create(sharded, make_optimizer(1e-3))
     with mesh:
         got_state, got_metrics = jax.jit(step_fn)(
-            state_s, shard_batch(batch, mesh), jax.random.key(0))
+            state_s, frozen, shard_batch(batch, mesh), jax.random.key(0))
     for k in ("loss", "loss_lm", "loss_rec", "loss_diffusion"):
         np.testing.assert_allclose(float(got_metrics[k]),
                                    float(ref_metrics[k]), rtol=2e-3,

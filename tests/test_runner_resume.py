@@ -12,7 +12,7 @@ from diffsensei_tpu.train.optim import make_optimizer
 from diffsensei_tpu.train.runner import RunConfig, run_training
 
 
-def _step_fn(state, batch, rng):
+def _step_fn(state, frozen, batch, rng):
     def loss_fn(p):
         return jnp.mean(jnp.square(p["w"] @ batch["x"] - batch["y"]))
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -77,7 +77,7 @@ def test_checkpoint_steps_list(tmp_path):
     from diffsensei_tpu.train.optim import make_optimizer
     from diffsensei_tpu.train.runner import RunConfig, run_training
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, frozen, batch, rng):
         return state.apply_gradients(
             jax.tree.map(jnp.ones_like, state.params)), {"loss": jnp.float32(0)}
 

@@ -98,15 +98,17 @@ def _stage3_batch(manga, agent_cfg, b=2, hw=32, sources=1):
 def test_stage3_step_trains_agent_only(stage3):
     modules, agent, frozen, manga = stage3
     cfg = Stage3Config(manga=manga, mllm_loss_weight=0.5)
-    step_fn = make_stage3_step(modules.unet, modules.unet_params,
-                               modules.resampler, modules.resampler_params,
-                               agent, frozen, DDPMSchedule(), cfg)
+    frozen = frozen.replace(unet_params=modules.unet_params,
+                            resampler_params=modules.resampler_params)
+    step_fn = make_stage3_step(modules.unet, modules.resampler, agent,
+                               DDPMSchedule(), cfg)
     params = {"llm": agent.llm_params,
               "input_resampler": agent.input_resampler_params,
               "output_resampler": agent.output_resampler_params}
     state = TrainState.create(params, make_optimizer(1e-3))
     batch = _stage3_batch(manga, agent.config)
-    state2, metrics = jax.jit(step_fn)(state, batch, jax.random.key(0))
+    state2, metrics = jax.jit(step_fn)(state, frozen, batch,
+                                       jax.random.key(0))
     for k in ("loss", "loss_diffusion", "loss_lm", "loss_rec"):
         assert np.isfinite(float(metrics[k])), k
     # every agent component received gradient

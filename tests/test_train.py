@@ -143,13 +143,13 @@ def _stage2_batch(manga, b=2, hw=32, sources=2):
 def test_stage1_step_decreases_nothing_but_runs(tiny_stack):
     modules, frozen, manga = tiny_stack
     schedule = DDPMSchedule()
-    step_fn = make_stage1_step(modules.unet, frozen, schedule)
+    step_fn = make_stage1_step(modules.unet, schedule)
     tx = make_optimizer(1e-4)
     state = TrainState.create(modules.unet_params, tx)
     batch = {k: v for k, v in _stage2_batch(manga).items()
              if k in ("pixel_values", "text_input_ids", "text_input_ids_2",
                       "original_size", "crop_coords_top_left", "target_size")}
-    state2, metrics = jax.jit(step_fn)(state, batch, jax.random.key(0))
+    state2, metrics = jax.jit(step_fn)(state, frozen, batch, jax.random.key(0))
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["loss"]))
     # params actually moved
@@ -163,7 +163,7 @@ def test_stage2_step_trains_selected_params_only(tiny_stack):
     schedule = DDPMSchedule()
     cfg = Stage2Config(manga=manga, ip_contrastive="fast",
                        ip_contrastive_weight=0.1)
-    step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
+    step_fn = make_stage2_step(modules.unet, modules.resampler,
                                schedule, cfg)
     params = {"unet": modules.unet_params,
               "resampler": modules.resampler_params}
@@ -172,7 +172,7 @@ def test_stage2_step_trains_selected_params_only(tiny_stack):
     tx = make_optimizer(1e-3, trainable_mask=mask)
     state = TrainState.create(params, tx)
     batch = _stage2_batch(manga)
-    state2, metrics = jax.jit(step_fn)(state, batch, jax.random.key(1))
+    state2, metrics = jax.jit(step_fn)(state, frozen, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["loss_ip_contrastive"]))
 
@@ -200,7 +200,7 @@ def test_stage2_step_sharded_on_mesh(tiny_stack, eight_devices):
     modules, frozen, manga = tiny_stack
     schedule = DDPMSchedule()
     cfg = Stage2Config(manga=manga)
-    step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
+    step_fn = make_stage2_step(modules.unet, modules.resampler,
                                schedule, cfg)
     mesh = make_mesh(MeshSpec(data=8, model=1), eight_devices)
     params = {"unet": modules.unet_params,
@@ -214,7 +214,8 @@ def test_stage2_step_sharded_on_mesh(tiny_stack, eight_devices):
             if hasattr(x, "shape") else x, state.opt_state))
     batch = shard_batch(_stage2_batch(manga, b=8, hw=16, sources=1), mesh)
     with mesh:
-        state2, metrics = jax.jit(step_fn)(state, batch, jax.random.key(2))
+        state2, metrics = jax.jit(step_fn)(state, frozen, batch,
+                                           jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
 
@@ -229,7 +230,7 @@ def test_gradient_accumulation_matches_mean_gradient_step(tiny_stack):
 
     modules, frozen, manga = tiny_stack
     schedule = DDPMSchedule()
-    step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
+    step_fn = make_stage2_step(modules.unet, modules.resampler,
                                schedule, Stage2Config(manga=manga))
     params = {"unet": modules.unet_params,
               "resampler": modules.resampler_params}
@@ -246,15 +247,15 @@ def test_gradient_accumulation_matches_mean_gradient_step(tiny_stack):
     # changes), so SGD is the optimizer that actually tests the semantics.
     tx = optax.sgd(1e-3)
     state = TrainState.create(params, optax.MultiSteps(tx, every_k_schedule=2))
-    mid, _ = jax.jit(step_fn)(state, batches[0], rngs[0])
+    mid, _ = jax.jit(step_fn)(state, frozen, batches[0], rngs[0])
     # micro step 1 must NOT touch params
     same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)),
                         state.params, mid.params)
     assert all(jax.tree.leaves(same)), "MultiSteps applied an early update"
-    final, _ = jax.jit(step_fn)(mid, batches[1], rngs[1])
+    final, _ = jax.jit(step_fn)(mid, frozen, batches[1], rngs[1])
 
     # reference path: one update with the mean of the two micro gradients
-    grad_fn = jax.grad(lambda p, b, r: step_fn.loss_fn(p, b, r)[0])
+    grad_fn = jax.grad(lambda p, b, r: step_fn.loss_fn(p, frozen, b, r)[0])
     g1 = grad_fn(params, batches[0], rngs[0])
     g2 = grad_fn(params, batches[1], rngs[1])
     g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)

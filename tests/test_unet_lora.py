@@ -134,14 +134,15 @@ def test_stage2_lora_step_updates_only_lora_and_ip(lora_stack):
     umask = unet_trainable_mask(modules.unet_params, "lora")
     t_flat, f_flat = partition_params(modules.unet_params, umask)
     assert all(("lora_" in k) or ("_ip" in k) for k in t_flat)
-    step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
-                               DDPMSchedule(), cfg, frozen_unet_flat=f_flat)
+    step_fn = make_stage2_step(modules.unet, modules.resampler,
+                               DDPMSchedule(), cfg)
+    frozen = frozen.replace(unet_frozen_flat=f_flat)
     params = {"unet": t_flat, "resampler": modules.resampler_params}
     state = TrainState.create(params, make_optimizer(1e-3))
 
     from tests.test_train import _stage2_batch
     batch = _stage2_batch(manga)
-    state2, metrics = jax.jit(step_fn)(state, batch, jax.random.key(1))
+    state2, metrics = jax.jit(step_fn)(state, frozen, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
 
     moved = {k: bool(jnp.any(state.params["unet"][k]

@@ -66,16 +66,15 @@ def main():
         vae_scaling=modules.vae.config.scaling_factor)
     s2 = Stage2Config(manga=manga, max_num_sources=1)
 
+    step_fn = make_stage2_step(modules.unet, modules.resampler,
+                               DDPMSchedule(), s2)
     if mode == "full":
-        step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
-                                   DDPMSchedule(), s2)
         params = {"unet": modules.unet_params,
                   "resampler": modules.resampler_params}
     else:
         umask = unet_trainable_mask(modules.unet_params, mode)
         t_flat, f_flat = partition_params(modules.unet_params, umask)
-        step_fn = make_stage2_step(modules.unet, modules.resampler, frozen,
-                                   DDPMSchedule(), s2, frozen_unet_flat=f_flat)
+        frozen = frozen.replace(unet_frozen_flat=f_flat)
         params = {"unet": t_flat, "resampler": modules.resampler_params}
     n_train = sum(int(x.size) for x in jax.tree.leaves(params))
     print(f"mode={mode}: {n_train/1e6:.1f}M trainable params", flush=True)
@@ -100,7 +99,7 @@ def main():
 
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
     t0 = time.perf_counter()
-    state, metrics = jit_step(state, batch, jax.random.key(1))
+    state, metrics = jit_step(state, frozen, batch, jax.random.key(1))
     print(f"compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={float(metrics['loss']):.4f} mem={device_memory_stats()}",
           flush=True)
@@ -108,7 +107,7 @@ def main():
     times = []
     for k in range(4):
         t0 = time.perf_counter()
-        state, metrics = jit_step(state, batch, jax.random.key(2 + k))
+        state, metrics = jit_step(state, frozen, batch, jax.random.key(2 + k))
         float(metrics["loss"])         # host fetch = execution barrier
         times.append(time.perf_counter() - t0)
     times.sort()

@@ -28,9 +28,12 @@ def main():
     dtype = jnp.bfloat16
     cfg = UNetConfig.sdxl()
     manga = cfg.manga
-    # per-block remat: required to fit the 1024^2 backward in 16 GB
+    # per-block remat: required to fit the 1024^2 backward in 16 GB.
+    # REMAT_POLICY=dots_deepest|dots trades activation memory for replay time
+    # (see UNetMangaModel.remat_policy).
+    policy = os.environ.get("REMAT_POLICY") or None
     unet = UNetMangaModel(cfg, dtype=dtype, param_dtype=dtype,
-                          remat_blocks=True)
+                          remat_blocks=True, remat_policy=policy)
     res = int(os.environ.get("BENCH_TRAIN_RES", "1024"))
     b, lh, lw = 1, res // 8, res // 8
 
@@ -91,7 +94,8 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     print(f"train fwd+bwd p50: {times[1]*1000:.1f} ms "
-          f"(batch {b}, {res}^2, bf16, remat)  mem={device_memory_stats()}")
+          f"(batch {b}, {res}^2, bf16, remat policy={policy})  "
+          f"mem={device_memory_stats()}")
 
 
 if __name__ == "__main__":

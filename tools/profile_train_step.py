@@ -20,23 +20,50 @@ import jax
 import jax.numpy as jnp
 
 
+import re
+
+
+def _opkind(name: str) -> str:
+    """HLO op kind of a trace event: the callee right before '(' on the RHS
+    of ``%x = type kind(...)``. Matching substrings anywhere in the event
+    name is WRONG — operand lists repeat producer op names (a fusion fed by
+    a custom-call contains 'custom-call' in its text)."""
+    m = re.match(r"%[\w.\-]+ = \S+ ([\w\-]+)\(", name)
+    if m:
+        return m.group(1)
+    m = re.match(r"%([\w\-]+)", name)
+    return m.group(1).rstrip(".0123456789") if m else name[:20]
+
+
 def classify(name: str) -> str:
-    n = name.lower()
-    if "flash" in n or "attention" in n:
+    kind = _opkind(name)
+    if kind.startswith("flash_attention"):
         return "flash attention (fwd+bwd kernels)"
-    if "custom-call" in n or "custom_call" in n:
-        return "other custom calls"
-    if n.startswith("convolution") or ".conv" in n or "conv" in n.split(".")[0]:
-        return "convolutions"
-    if n.startswith("dot"):
-        return "dots (shifted-conv/matmul)"
-    if "fusion" in n:
-        return "fusions"
-    if n.startswith(("copy", "transpose", "bitcast", "reshape", "slice",
-                     "pad", "concatenate", "dynamic")):
+    if kind == "custom-call":
+        return "other custom calls (Pallas/DMA)"
+    if "fusion" in kind:
+        rhs = name.split(" = ", 1)[1] if " = " in name else name
+        out = rhs.split("{")[0]
+        if "[3,3," in rhs:
+            return "fusions: conv (3x3 weights in play)"
+        if re.search(r"\[\d+,\d+,(5120|10240)\]", rhs):
+            return "fusions: GEGLU/FF matmuls"
+        if re.search(r"\[\d+,\d+,\d+,\d+\]", out):
+            return "fusions: 4D acts (GN/resnet elementwise)"
+        if kind != "fusion":
+            return "fusions: reduce/stats (LN/GN/loss)"
+        return "fusions: 2D/3D matmul+elementwise"
+    if kind in ("copy", "transpose", "bitcast", "reshape", "slice", "pad",
+                "concatenate") or kind.startswith("dynamic"):
         return "copies/layout"
-    if n.startswith(("reduce", "convert", "all-reduce")):
-        return "reduce/convert"
+    if kind.startswith(("copy-", "async", "slice-", "all-reduce")):
+        return "async/DMA bookkeeping"
+    if kind.startswith(("reduce", "convert", "broadcast")):
+        return "reduce/convert/broadcast"
+    if kind.startswith("convolution"):
+        return "convolutions (XLA)"
+    if kind.startswith("dot"):
+        return "dots (shifted-conv/matmul)"
     return "other"
 
 
