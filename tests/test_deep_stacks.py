@@ -88,3 +88,26 @@ def test_port_multilayer_layout():
     assert out["blocks_1"]["attn1"]["to_q"]["kernel"].shape == (c, c)
     assert not np.allclose(out["blocks_0"]["attn1"]["to_q"]["kernel"],
                            out["blocks_1"]["attn1"]["to_q"]["kernel"])
+
+
+def test_remat_policy_grads_match_full_remat():
+    """remat_policy ('dots_deepest'/'dots') changes WHAT the backward saves,
+    never the math: gradients must match the full-recompute baseline (the
+    policies trade activation memory for replay time, docs/PERF.md)."""
+    cfg = _deep_cfg()
+    inputs = _unet_inputs(cfg, b=1, h=8, w=8)
+    base = UNetMangaModel(cfg, remat_blocks=True)
+    params = base.init(jax.random.key(0), **inputs)
+
+    def grads_of(model):
+        def loss(p):
+            return jnp.sum(jnp.square(model.apply(p, **inputs)))
+        return jax.grad(loss)(params)
+
+    ref = grads_of(base)
+    for policy in ("dots_deepest", "dots"):
+        got = grads_of(UNetMangaModel(cfg, remat_blocks=True,
+                                      remat_policy=policy))
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
