@@ -280,10 +280,11 @@ def main() -> None:
 
     # batched serving throughput, bs in {2, 4} (1024²: measured 2026-08 at
     # ~parity with batch 1 — chip saturated at CFG batch 2; 512² measured
-    # round 3, see docs/PERF.md). Costs extra large compiles → opt-in.
+    # round 3, see docs/PERF.md). Default on (compiles are cached across
+    # runs); BENCH_BATCHED=0 skips.
     import os
     batched_pps = {}
-    if os.environ.get("BENCH_BATCHED") == "1":
+    if os.environ.get("BENCH_BATCHED", "1") != "0":
         for bn in (2, 4):
             try:
                 denoise_n = build_denoise(bn)
@@ -433,7 +434,7 @@ def _measure_cold_ttf():
         with open(marker) as f:
             return json.load(f)["ttf_cold_s"]
     env = dict(_os.environ, BENCH_COLD_PROBE="1", BENCH_SKIP_MLLM="1",
-               BENCH_RES=str(HEIGHT),
+               BENCH_BATCHED="0", BENCH_RES=str(HEIGHT),
                DIFFSENSEI_COMPILE_CACHE=tempfile.mkdtemp(prefix="coldcache"))
     try:
         out = subprocess.run(

@@ -133,7 +133,8 @@ class PipelineModules:
     def sdxl(cls, rng: Optional[jax.Array] = None,
              dtype: Any = jnp.bfloat16, init: str = "zeros",
              remat: bool = False, lora_rank: int = 0,
-             remat_policy: Optional[str] = None) -> "PipelineModules":
+             remat_policy: Optional[str] = None,
+             param_dtype: Any = jnp.float32) -> "PipelineModules":
         """Production-scale stack (reference ``gradio.py:229-283`` geometry):
         SDXL UNet + manga modules, fp32 VAE, CLIP-L + OpenCLIP-bigG text
         encoders, CLIP ViT-H + Magi ViTMAE image encoders, DiffSensei
@@ -144,21 +145,25 @@ class PipelineModules:
         unrolled UNet, same order as any init of this graph), "random"
         (full random init; for benchmarks/training-from-scratch), or "none"
         (module defs only, params left ``None``).
-        Params are fp32; compute dtype ``dtype`` (VAE always fp32).
+        Params default fp32; compute dtype ``dtype`` (VAE always fp32).
+        ``param_dtype=jnp.bfloat16`` builds the param trees directly in bf16
+        — the single-chip training configuration (an fp32-then-cast pass
+        transiently doubles the 10.4 GB UNet tree and OOMs a 16 GB chip).
         """
         manga = MangaConfig()
         ucfg = dataclasses.replace(UNetConfig.sdxl(manga),
                                    lora_rank=lora_rank)
-        unet = UNetMangaModel(ucfg, dtype=dtype, remat_blocks=remat,
-                              remat_policy=remat_policy)
-        vae = AutoencoderKL(VAEConfig.sdxl())
-        te1 = CLIPTextEncoder(TextEncoderConfig.clip_l(), dtype=dtype)
-        te2 = CLIPTextEncoder(TextEncoderConfig.clip_bigg(), dtype=dtype)
+        pkw = dict(dtype=dtype, param_dtype=param_dtype)
+        unet = UNetMangaModel(ucfg, remat_blocks=remat,
+                              remat_policy=remat_policy, **pkw)
+        vae = AutoencoderKL(VAEConfig.sdxl())          # always fp32
+        te1 = CLIPTextEncoder(TextEncoderConfig.clip_l(), **pkw)
+        te2 = CLIPTextEncoder(TextEncoderConfig.clip_bigg(), **pkw)
         icfg = VisionEncoderConfig.clip_vit_h()
         mcfg = VisionEncoderConfig.magi_vitmae()
-        ienc = VisionTransformer(icfg, dtype=dtype)
-        menc = VisionTransformer(mcfg, dtype=dtype)
-        res = Resampler(ResamplerConfig.diffsensei(), dtype=dtype)
+        ienc = VisionTransformer(icfg, **pkw)
+        menc = VisionTransformer(mcfg, **pkw)
+        res = Resampler(ResamplerConfig.diffsensei(), **pkw)
 
         mods = cls(unet=unet, unet_params=None, vae=vae, vae_params=None,
                    text_encoder=te1, text_encoder_params=None,

@@ -40,15 +40,11 @@ def main():
     dtype = jnp.bfloat16
 
     t0 = time.perf_counter()
-    modules = PipelineModules.sdxl(init="zeros", dtype=dtype, remat=True)
-    # bf16 params: the single-chip training configuration (fp32 UNet params
-    # alone are 10.4 GB; bench_train_step.py measures the same dtype)
-    cast = lambda tree: jax.tree.map(lambda x: x.astype(dtype)
-                                     if x.dtype == jnp.float32 else x, tree)
-    for field in ("unet_params", "text_encoder_params", "text_encoder_2_params",
-                  "image_encoder_params", "magi_encoder_params",
-                  "resampler_params"):
-        setattr(modules, field, cast(getattr(modules, field)))
+    policy = os.environ.get("REMAT_POLICY") or None
+    # bf16 param trees from the start: the single-chip training configuration
+    # (fp32 zeros trees for the full stack are ~18 GB and OOM before the cast)
+    modules = PipelineModules.sdxl(init="zeros", dtype=dtype, remat=True,
+                                   remat_policy=policy, param_dtype=dtype)
     print(f"build+zeros init: {time.perf_counter()-t0:.1f}s "
           f"mem={device_memory_stats()}", flush=True)
 
@@ -112,7 +108,7 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     print(f"stage-2 full step p50: {times[len(times)//2]*1000:.1f} ms "
-          f"(batch {b}, {res}^2, mode={mode}, bf16, remat) "
+          f"(batch {b}, {res}^2, mode={mode}, bf16, remat policy={policy}) "
           f"reps={[f'{x*1000:.1f}' for x in times]} "
           f"mem={device_memory_stats()}")
 
