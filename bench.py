@@ -384,7 +384,8 @@ def _bench_mllm_adaptation(manga):
     agent = ContinuousLVLM.build(acfg, jax.random.key(0), dtype=jnp.bfloat16)
 
     nq = acfg.input_resampler.num_queries                       # 64
-    ladder = np.arange(llm.vocab_size - nq - 2, llm.vocab_size, np.int64)
+    ladder = np.arange(llm.vocab_size - nq - 2, llm.vocab_size,
+                       dtype=np.int64)
     rng = np.random.default_rng(0)
     # prompt = caption + cmp block + newline + <img> (gradio.py:36-57 shape)
     prompt_len = 96

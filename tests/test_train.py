@@ -269,3 +269,26 @@ def test_gradient_accumulation_matches_mean_gradient_step(tiny_stack):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_stage2_step_captures_no_large_constants(tiny_stack):
+    """Regression guard for the closure-capture OOM class: every frozen tree
+    must enter the jitted step through the argument list. A step that closes
+    over params shows them as multi-MB jaxpr constants (at SDXL scale that
+    was a measured 8.3 GB of duplicated program constants → OOM)."""
+    modules, frozen, manga = tiny_stack
+    step_fn = make_stage2_step(modules.unet, modules.resampler, DDPMSchedule(),
+                               Stage2Config(manga=manga))
+    state = TrainState.create({"unet": modules.unet_params,
+                               "resampler": modules.resampler_params},
+                              make_optimizer(1e-4))
+    jaxpr = jax.make_jaxpr(step_fn)(state, frozen, _stage2_batch(manga),
+                                    jax.random.key(0))
+    const_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize
+                      for c in jaxpr.consts if hasattr(c, "shape"))
+    frozen_bytes = sum(x.size * x.dtype.itemsize
+                       for x in jax.tree.leaves(frozen) if hasattr(x, "size"))
+    # scheduler tables etc. are allowed; frozen trees (tiny stack: >10 MB) not
+    assert const_bytes < 1 << 20, (
+        f"step captured {const_bytes/1e6:.1f} MB of constants "
+        f"(frozen stack is {frozen_bytes/1e6:.1f} MB — closed over?)")
