@@ -320,6 +320,33 @@ def main() -> None:
     if os.environ.get("BENCH_COLD_PROBE") != "1":
         ttf_cold_s = _measure_cold_ttf()
 
+    # chip-health calibration: achieved TFLOP/s on a bare 8k^3 bf16 matmul.
+    # The axon tunnel's effective chip speed varies run to run (2026-08-17:
+    # the SAME flash kernel measured 1.9 then 2.7 ms hours apart); this
+    # anchors every panels/s figure to the silicon speed behind it.
+    # Must amortize INSIDE one dispatch: an eagerly-chained per-call probe
+    # measures tunnel latency, not silicon (8.7 "TFLOP/s" on a chip that
+    # sustains 108 in-loop).
+    tflops = None
+    try:
+        n = 4096
+        a_ = jnp.ones((n, n), jnp.bfloat16)
+
+        @jax.jit
+        def _mm_loop(x, a):
+            return jax.lax.fori_loop(
+                0, 50, lambda i, x: (x @ a) * 1e-3, x)
+
+        x = _mm_loop(a_, a_)
+        float(jnp.sum(x.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        x = _mm_loop(x, a_)
+        float(jnp.sum(x.astype(jnp.float32)))
+        dt = time.perf_counter() - t0
+        tflops = 50 * 2 * n ** 3 / dt / 1e12
+    except Exception as e:  # noqa: BLE001
+        print(f"# chip probe skipped: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "panels_per_sec_per_chip",
         "value": round(full_panels_per_sec, 4),
@@ -345,6 +372,7 @@ def main() -> None:
         "mllm_llm_geometry": (mllm["geometry"] if mllm else None),
         "param_load_s": round(load_s, 2),
         "snapshot_created_s": (round(created_s, 1) if created_s else None),
+        "chip_matmul_tflops": (round(tflops, 1) if tflops else None),
         "backend": jax.default_backend(),
     }))
 
