@@ -18,7 +18,7 @@ MLP timestep embeddings.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -166,16 +166,29 @@ class Downsample2D(nn.Module):
 
 
 class Upsample2D(nn.Module):
-    """Nearest-neighbor x2 then 3x3 conv."""
+    """Nearest-neighbor x2 (or to an explicit ``output_size``) then 3x3 conv.
+
+    ``output_size`` mirrors diffusers' ``forward_upsample_size`` path: odd
+    skip-connection sizes (any multiple-of-8 panel edge is legal, reference
+    pipeline_diffsensei.py:208-210) need the upsample to land exactly on the
+    skip's (h, w). Index math matches torch ``F.interpolate(mode="nearest")``:
+    ``src = floor(dst * in/out)``.
+    """
 
     out_channels: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 output_size: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
         b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        oh, ow = output_size if output_size is not None else (2 * h, 2 * w)
+        if (oh, ow) == (2 * h, 2 * w):
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        else:
+            x = jnp.take(x, (jnp.arange(oh) * h) // oh, axis=1)
+            x = jnp.take(x, (jnp.arange(ow) * w) // ow, axis=2)
         return Conv3x3(self.out_channels, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="conv")(x)
 

@@ -339,7 +339,12 @@ class UNetMangaModel(nn.Module):
                         name=f"up_{rev}_attn_{j}", **tkw)(
                         x, *attn_args(level))
             if level > 0:
-                x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(x)
+                # land exactly on the next skip's (h, w): odd feature sizes
+                # (legal at any multiple-of-8 panel edge) don't round-trip
+                # through stride-2 down + x2 up (diffusers forwards
+                # upsample_size the same way at unet forward :304-332)
+                x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(
+                    x, output_size=skips[-1].shape[1:3])
 
         # --- output head (reference unet.py:335-338)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
@@ -356,5 +361,10 @@ def attention_levels(cfg: UNetConfig) -> Tuple[int, ...]:
 
 def level_spatial_shape(cfg: UNetConfig, height: int, width: int,
                         level: int) -> Tuple[int, int]:
-    """Feature-map (h, w) of a UNet level for a given latent (height, width)."""
-    return height >> level, width >> level
+    """Feature-map (h, w) of a UNet level for a given latent (height, width).
+
+    Stride-2 SAME-padded downsampling yields ``ceil(h/2)`` per level (equal to
+    ``h >> level`` only when every intermediate size is even) — the reference
+    recovers the same shapes by integer search at
+    ``attention_processor.py:131-139``."""
+    return -(-height // (1 << level)), -(-width // (1 << level))

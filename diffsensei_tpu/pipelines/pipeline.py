@@ -49,7 +49,8 @@ from diffsensei_tpu.models.schedulers import (
     step as scheduler_step,
 )
 from diffsensei_tpu.models.text_encoder import CLIPTextEncoder
-from diffsensei_tpu.models.unet import UNetMangaModel, attention_levels
+from diffsensei_tpu.models.unet import (UNetMangaModel, attention_levels,
+                                         level_spatial_shape)
 from diffsensei_tpu.models.vae import AutoencoderKL
 from diffsensei_tpu.models.vision_encoder import VisionTransformer
 from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias
@@ -430,6 +431,19 @@ class DiffSenseiPipeline:
         manga = m.manga
         if ip_pixel_values is not None:
             n_ips = ip_pixel_values.shape[0]
+            if n_ips < manga.max_num_ips:
+                # pad to max_num_ips inside the pipeline like the reference
+                # (black crops, pipeline_diffsensei.py:118-122); the padded
+                # characters' embeddings are zeroed below via num_valid, so
+                # the pad content never reaches the resampler.
+                ip_pixel_values = jnp.concatenate([
+                    jnp.asarray(ip_pixel_values),
+                    jnp.zeros((manga.max_num_ips - n_ips,)
+                              + tuple(ip_pixel_values.shape[1:]),
+                              jnp.asarray(ip_pixel_values).dtype)], axis=0)
+                num_valid = (n_ips if num_valid is None
+                             else min(num_valid, n_ips))
+                n_ips = manga.max_num_ips
             clip_h, _ = m.image_encoder.apply(m.image_encoder_params,
                                               ip_pixel_values)
             _, magi_cls = m.magi_encoder.apply(m.magi_encoder_params,
@@ -553,7 +567,8 @@ class DiffSenseiPipeline:
         if use_ip:
             for level in attention_levels(m.unet.config):
                 ip_biases[level] = build_ip_attention_bias(
-                    ip_bbox_arr, lh >> level, lw >> level,
+                    ip_bbox_arr, *level_spatial_shape(m.unet.config, lh, lw,
+                                                      level),
                     manga.num_vision_tokens, manga.num_dummy_tokens)
 
         # 4. SDXL micro-conditioning: caller-supplied (orig, crop, target)

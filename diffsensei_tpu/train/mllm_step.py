@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from diffsensei_tpu.core.config import MangaConfig
 from diffsensei_tpu.models.schedulers import DDPMSchedule
-from diffsensei_tpu.models.unet import attention_levels
+from diffsensei_tpu.models.unet import attention_levels, level_spatial_shape
 from diffsensei_tpu.ops.masked_ip import build_ip_attention_bias
 from diffsensei_tpu.train import losses
 from diffsensei_tpu.train.diffusion import (
@@ -128,7 +128,8 @@ def make_stage3_step(unet, resampler, agent, schedule: DDPMSchedule,
         lh, lw = latents.shape[1], latents.shape[2]
         biases = {
             level: build_ip_attention_bias(
-                batch["ip_bbox"], lh >> level, lw >> level,
+                batch["ip_bbox"],
+                *level_spatial_shape(unet.config, lh, lw, level),
                 manga.num_vision_tokens, manga.num_dummy_tokens)
             for level in attention_levels(unet.config)
         }

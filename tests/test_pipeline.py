@@ -50,6 +50,26 @@ def test_conditioned_wo_mllm(tiny_pipeline):
     assert bool(jnp.isfinite(images).all())
 
 
+def test_fewer_chars_than_max_pads_like_reference(tiny_pipeline):
+    """One character with max_num_ips=2 must work — the pipeline pads to
+    max_num_ips internally (reference pipeline_diffsensei.py:118-122) and the
+    result is bit-identical to a caller-pre-padded call with the same
+    num_valid (the pad rows' embeddings are zeroed either way)."""
+    manga = tiny_pipeline.m.manga
+    assert manga.max_num_ips >= 2
+    one = jnp.ones((1, 224, 224, 3), jnp.float32) * 0.2
+    kw = dict(height=64, width=64, num_inference_steps=2,
+              rng=jax.random.key(6), prompt_ids=_prompt_ids(),
+              ip_bbox=[[0.0, 0.0, 0.5, 1.0]], snap_to_buckets=False)
+    unpadded = tiny_pipeline(ip_pixel_values=one, **kw)
+    assert unpadded.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(unpadded).all())
+    padded = jnp.concatenate(
+        [one, jnp.zeros((manga.max_num_ips - 1, 224, 224, 3))], axis=0)
+    pre_padded = tiny_pipeline(ip_pixel_values=padded, **kw)
+    assert bool((unpadded == pre_padded).all())
+
+
 def test_ip_image_embeds_paste(tiny_pipeline):
     """The MLLM paste-over path (reference pipeline_diffsensei.py:143-145)."""
     manga = tiny_pipeline.m.manga

@@ -121,6 +121,56 @@ def test_unet_full_forward_parity():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+def test_unet_odd_latent_parity():
+    """Odd feature sizes (any multiple-of-8 panel edge is legal, reference
+    pipeline_diffsensei.py:208-210): stride-2 down gives ceil(h/2) and the
+    upsample must land exactly on the skip size (diffusers
+    forward_upsample_size, torch nearest index = floor(i*in/out)). Latent
+    7x10 walks 7->4->2 and 10->5->3 — odd at every level."""
+    from diffsensei_tpu.models.unet import level_spatial_shape
+
+    cfg = UNetConfig.tiny()
+    manga = cfg.manga
+    torch.manual_seed(7)
+    ref = oracle.UNetMangaOracle(cfg).eval()
+    params, missing = port_torch.port_sdxl_unet(ref.state_dict(), cfg)
+    assert missing == []
+
+    rng = np.random.default_rng(7)
+    b, lh, lw = 1, 7, 10
+    sample = rng.normal(size=(b, lh, lw, cfg.in_channels)).astype(np.float32)
+    t = np.asarray([300.0], np.float32)
+    ctx = rng.normal(size=(b, 77, cfg.cross_attention_dim)).astype(np.float32)
+    pooled = rng.normal(size=(b, cfg.pooled_projection_dim)).astype(np.float32)
+    time_ids = np.asarray([[56, 80, 0, 0, 56, 80]], np.float32)
+    ip = rng.normal(size=(b, manga.num_context_image_tokens,
+                          cfg.cross_attention_dim)).astype(np.float32)
+    bbox = np.asarray([[[0, 0, .6, 1], [.4, 0, 1, 1]]], np.float32)
+    dialog = np.asarray([[[.1, 0, .5, .25], [0, 0, 0, 0], [0, 0, 0, 0]]],
+                        np.float32)
+    biases = {
+        level: build_ip_attention_bias(
+            jnp.asarray(bbox), *level_spatial_shape(cfg, lh, lw, level),
+            manga.num_vision_tokens, manga.num_dummy_tokens)
+        for level in attention_levels(cfg)
+    }
+    with torch.no_grad():
+        want = _from_nchw(ref(
+            _nchw(sample), torch.tensor(t), torch.tensor(ctx),
+            torch.tensor(pooled), torch.tensor(time_ids), torch.tensor(ip),
+            {k: torch.tensor(np.asarray(v)) for k, v in biases.items()},
+            0.6, torch.tensor(dialog)))
+
+    model = UNetMangaModel(cfg)
+    got = np.asarray(model.apply(
+        params, jnp.asarray(sample), jnp.asarray(t), jnp.asarray(ctx),
+        jnp.asarray(pooled), jnp.asarray(time_ids),
+        ip_hidden_states=jnp.asarray(ip), ip_attn_bias=biases,
+        ip_scale=0.6, dialog_bbox=jnp.asarray(dialog)))
+    assert got.shape == (b, lh, lw, cfg.out_channels)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
 def test_denoise_per_step_drift():
     """VERDICT r1 #4 'per-step latent drift bounded': run the FULL CFG denoise
     recurrence (scale_model_input -> manga UNet -> CFG combine -> Euler step)

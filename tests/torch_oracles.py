@@ -296,7 +296,9 @@ class UNetMangaOracle(nn.Module):
                     x = blk.attentions[j](x, ctx_text, ctx_ip,
                                           ip_biases[level], ip_scale)
             if hasattr(blk, "upsamplers"):
-                x = F.interpolate(x, scale_factor=2.0, mode="nearest")
+                # diffusers forwards upsample_size so odd skip sizes land
+                # exactly (UNet2DConditionModel forward_upsample_size path)
+                x = F.interpolate(x, size=skips[-1].shape[2:], mode="nearest")
                 x = blk.upsamplers[0].conv(x)
 
         return self.conv_out(F.silu(self.conv_norm_out(x)))
