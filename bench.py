@@ -229,8 +229,8 @@ def main() -> None:
     # chip is sometimes time-shared (docs/PERF.md), which inflates wall
     # clock while device compute is unchanged — this field is the
     # contention-independent anchor for cross-round comparisons.
-    device_step_ms = None
-    try:
+    def _trace_device_ms(f, *args):
+        """Device self-time (ms) of ONE dispatch of ``f(*args)``."""
         import sys
         import tempfile
         sys.path.insert(0, _os.path.join(_REPO, "tools"))
@@ -238,13 +238,18 @@ def main() -> None:
 
         tdir = tempfile.mkdtemp(prefix="benchtrace")
         jax.profiler.start_trace(tdir)
-        lat_t = denoise(params, lat * 0.5 + 0.5)
-        float(jnp.sum(lat_t))
+        out = f(*args)
+        float(jnp.sum(out))
         jax.profiler.stop_trace()
         plane = xplane.device_plane(xplane.find_xspace(tdir))
         rows = xplane.self_times(xplane.xla_ops_events(plane),
                                  xplane.event_names(plane))
-        device_step_ms = sum(r[1] for r in rows) / 1e9 / STEPS
+        return sum(r[1] for r in rows) / 1e9
+
+    device_step_ms = None
+    try:
+        device_step_ms = _trace_device_ms(
+            denoise, params, lat * 0.5 + 0.5) / STEPS
     except Exception as e:  # noqa: BLE001 — trace probe must not kill bench
         print(f"# device-time probe skipped: {type(e).__name__}: {e}")
 
@@ -354,12 +359,32 @@ def main() -> None:
                     jax.random.key(20),
                     (bn, lh, lw, cfg.in_channels), jnp.float32)
                 float(jnp.sum(denoise_n(params, lat_n)))   # compile + barrier
-                batched_s = float("inf")
-                for _ in range(2):   # min-of-2: contention robustness
-                    t0 = time.perf_counter()
-                    lat_n = denoise_n(params, lat_n * 0.5 + 0.5)
-                    float(jnp.sum(lat_n))
-                    batched_s = min(batched_s, time.perf_counter() - t0)
+
+                def _time_batched(lat_n):
+                    best = float("inf")
+                    for _ in range(2):   # min-of-2: contention robustness
+                        t0 = time.perf_counter()
+                        lat_n = denoise_n(params, lat_n * 0.5 + 0.5)
+                        float(jnp.sum(lat_n))
+                        best = min(best, time.perf_counter() - t0)
+                    return best, lat_n
+
+                batched_s, lat_n = _time_batched(lat_n)
+                # same device-anchored contention retry as the main leg
+                try:
+                    dev_s = _trace_device_ms(denoise_n, params,
+                                             lat_n * 0.5 + 0.5) / 1000
+                except Exception:  # noqa: BLE001
+                    dev_s = None
+                for _ in range(2):
+                    if not dev_s or batched_s <= 1.15 * dev_s:
+                        break
+                    print(f"# contention on bs={bn}: wall {batched_s:.2f} vs "
+                          f"device {dev_s:.2f} s — retry after 60 s",
+                          flush=True)
+                    time.sleep(60)
+                    retry_s, lat_n = _time_batched(lat_n)
+                    batched_s = min(batched_s, retry_s)
                 batched_pps[bn] = bn / (batched_s + bn * vae_s)
             except Exception as e:  # noqa: BLE001
                 print(f"# batched bs={bn} skipped: {type(e).__name__}: {e}")
