@@ -33,20 +33,68 @@ from diffsensei_tpu.ops.attention import multi_head_attention
 Dtype = Any
 
 
+class Int8Dense(nn.Module):
+    """Weight-only int8 dense: per-output-channel symmetric quantization.
+
+    Serving-only (no bias, no grad path intended): ``y = (x @ Q) * s`` where
+    ``Q`` is int8 ``[in, out]`` and ``s`` fp32 ``[out]`` — the per-channel
+    scale factors out of the contraction, so the matmul reads the weight
+    matrix as int8 straight from HBM (XLA fuses the int8→bf16 convert into
+    the dot operand) and applies one multiply on the [.., out] result. Halves
+    the weight-bandwidth of the HBM-bound autoregressive decode and the
+    resident footprint — the lever that fits SEED-X's 13B-class LLM
+    (~26 GB bf16) on a single 16 GB v5e without the TP mesh.
+
+    Params are produced by ``models.mllm.quant.quantize_llm_params`` from a
+    ported bf16/fp32 tree; the random init here only serves benchmarks.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+
+        def _q_init(key, shape, dtype=jnp.int8):
+            return jax.random.randint(key, shape, -127, 128,
+                                      jnp.int32).astype(dtype)
+
+        # random-init scale ~ lecun-normal effective weights: uniform ±127
+        # ints have std ≈ 73.3, so s = 1 / (73.3 · sqrt(fan_in)).
+        def _s_init(key, shape, dtype=jnp.float32):
+            del key
+            return jnp.full(shape, 1.0 / (73.3 * in_features ** 0.5), dtype)
+
+        q = self.param("kernel_q", _q_init, (in_features, self.features))
+        s = self.param("kernel_scale", _s_init, (self.features,))
+        y = jnp.dot(x, q.astype(self.dtype))
+        return y * s.astype(self.dtype)
+
+
 class LoRADense(nn.Module):
-    """Dense with optional low-rank adapter (merged at serve time)."""
+    """Dense with optional low-rank adapter (merged at serve time).
+
+    ``quantized=True`` swaps the base matmul for :class:`Int8Dense` (QLoRA
+    layout: int8 frozen base, adapters — if any — stay in the compute dtype).
+    """
 
     features: int
     lora_rank: int = 0
     lora_alpha: float = 16.0
     use_bias: bool = False
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="base")(x)
+        if self.quantized:
+            y = Int8Dense(self.features, dtype=self.dtype, name="base")(x)
+        else:
+            y = nn.Dense(self.features, use_bias=self.use_bias,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="base")(x)
         if self.lora_rank > 0:
             a = self.param("lora_a", nn.initializers.normal(0.02),
                            (x.shape[-1], self.lora_rank), self.param_dtype)
@@ -92,6 +140,7 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -99,8 +148,8 @@ class LlamaAttention(nn.Module):
     def __call__(self, x, cos, sin, positions, attn_bias=None, cache=None,
                  cache_index=None):
         cfg = self.config
-        kw = dict(lora_rank=self.lora_rank, dtype=self.dtype,
-                  param_dtype=self.param_dtype)
+        kw = dict(lora_rank=self.lora_rank, quantized=self.quantized,
+                  dtype=self.dtype, param_dtype=self.param_dtype)
         b, s, _ = x.shape
         hd = cfg.head_dim
 
@@ -149,14 +198,15 @@ class LlamaAttention(nn.Module):
 class LlamaMLP(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        kw = dict(lora_rank=self.lora_rank, dtype=self.dtype,
-                  param_dtype=self.param_dtype)
+        kw = dict(lora_rank=self.lora_rank, quantized=self.quantized,
+                  dtype=self.dtype, param_dtype=self.param_dtype)
         g = LoRADense(cfg.intermediate_size, name="gate_proj", **kw)(x)
         u = LoRADense(cfg.intermediate_size, name="up_proj", **kw)(x)
         return LoRADense(cfg.hidden_size, name="down_proj", **kw)(
@@ -166,19 +216,21 @@ class LlamaMLP(nn.Module):
 class LlamaLayer(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cos, sin, positions, cache=None, cache_index=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        qkw = dict(quantized=self.quantized, **kw)
         h = RMSNorm(self.config.rms_norm_eps, name="input_norm", **kw)(x)
         a, new_cache = LlamaAttention(self.config, self.lora_rank,
-                                      name="attn", **kw)(
+                                      name="attn", **qkw)(
             h, cos, sin, positions, cache=cache, cache_index=cache_index)
         x = x + a
         h = RMSNorm(self.config.rms_norm_eps, name="post_norm", **kw)(x)
-        x = x + LlamaMLP(self.config, self.lora_rank, name="mlp", **kw)(h)
+        x = x + LlamaMLP(self.config, self.lora_rank, name="mlp", **qkw)(h)
         return x, new_cache
 
 
@@ -194,6 +246,7 @@ class LlamaForCausalLM(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
     remat: bool = False
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -205,11 +258,17 @@ class LlamaForCausalLM(nn.Module):
         layer_cls = LlamaLayer
         if self.remat:
             layer_cls = nn.remat(LlamaLayer, static_argnums=())
-        self.layers = [layer_cls(cfg, self.lora_rank, name=f"layers_{i}", **kw)
+        self.layers = [layer_cls(cfg, self.lora_rank,
+                                 quantized=self.quantized,
+                                 name=f"layers_{i}", **kw)
                        for i in range(cfg.num_layers)]
         self.norm = RMSNorm(cfg.rms_norm_eps, name="norm", **kw)
-        self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                name="lm_head", **kw)
+        if self.quantized:
+            self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
+                                     name="lm_head")
+        else:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    name="lm_head", **kw)
 
     def __call__(self, input_ids=None, inputs_embeds=None, positions=None,
                  caches=None, cache_index=None):

@@ -79,22 +79,44 @@ class ContinuousLVLM:
     @classmethod
     def build(cls, config: AgentConfig, rng: jax.Array,
               dtype=jnp.float32, lora_rank: Optional[int] = None,
-              remat: bool = False) -> "ContinuousLVLM":
+              remat: bool = False, quantized: bool = False,
+              abstract: bool = False) -> "ContinuousLVLM":
+        """``quantized=True`` builds the int8 weight-only serving LLM
+        (random int8 init — real weights come via
+        ``models.mllm.quant.quantize_agent`` / ``quantize_llm_params``).
+
+        ``abstract=True`` skips materializing params — trees hold
+        ``jax.ShapeDtypeStruct`` leaves for a checkpoint loader to replace.
+        The 13B-class LLM cannot be random-initialized on a 16 GB chip (or
+        cheaply on host); serving builds abstract, ports host-side, then
+        quantizes/ships (``serve/cli.py --quantize-llm``).
+        """
         lora = config.lora.rank if lora_rank is None else lora_rank
+        if quantized:
+            lora = 0
         llm = LlamaForCausalLM(config.llm, lora_rank=lora, remat=remat,
+                               quantized=quantized,
                                dtype=dtype, param_dtype=dtype)
         in_res = QwenResampler(config.input_resampler, dtype=dtype,
                                param_dtype=dtype)
         out_res = QwenResampler(config.output_resampler, dtype=dtype,
                                 param_dtype=dtype)
         k1, k2, k3 = jax.random.split(rng, 3)
-        llm_params = llm.init(k1, input_ids=jnp.zeros((1, 8), jnp.int32))
-        in_params = in_res.init(
-            k2, jnp.zeros((1, 4, config.input_resampler.kv_dim or
-                           config.input_resampler.embed_dim)))
-        out_params = out_res.init(
-            k3, jnp.zeros((1, 4, config.output_resampler.kv_dim or
-                           config.output_resampler.embed_dim)))
+
+        def init3():
+            llm_params = llm.init(k1, input_ids=jnp.zeros((1, 8), jnp.int32))
+            in_params = in_res.init(
+                k2, jnp.zeros((1, 4, config.input_resampler.kv_dim or
+                               config.input_resampler.embed_dim)))
+            out_params = out_res.init(
+                k3, jnp.zeros((1, 4, config.output_resampler.kv_dim or
+                               config.output_resampler.embed_dim)))
+            return llm_params, in_params, out_params
+
+        if abstract:
+            llm_params, in_params, out_params = jax.eval_shape(init3)
+        else:
+            llm_params, in_params, out_params = init3()
         return cls(config, llm, llm_params, in_res, in_params,
                    out_res, out_params)
 

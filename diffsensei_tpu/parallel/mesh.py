@@ -85,6 +85,16 @@ def llm_param_sharding_rules() -> Sequence[Rule]:
         (r".*(o_proj|down_proj)\.kernel", P(MODEL_AXIS, None)),
         (r".*embed_tokens\.embedding", P(MODEL_AXIS, None)),
         (r".*lm_head\.kernel", P(None, MODEL_AXIS)),
+        # int8 weight-only serving layout (models/mllm/quant.py): the int8
+        # matrix shards like its bf16 counterpart; the per-out-channel scale
+        # vector shards with the output dim (replicated for row-parallel).
+        (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.base\.kernel_q",
+         P(None, MODEL_AXIS)),
+        (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.base\.kernel_scale",
+         P(MODEL_AXIS)),
+        (r".*(o_proj|down_proj)\.base\.kernel_q", P(MODEL_AXIS, None)),
+        (r".*lm_head\.kernel_q", P(None, MODEL_AXIS)),
+        (r".*lm_head\.kernel_scale", P(MODEL_AXIS)),
         (r".*", P()),
     )
 

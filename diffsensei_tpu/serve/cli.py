@@ -69,6 +69,10 @@ def main(argv=None):
     parser.add_argument("--mllm-tokenizer", default=None,
                         help="HF LlamaTokenizer dir with the <img_k> ladder "
                         "tokens (reference mllm/tokenizer)")
+    parser.add_argument("--quantize-llm", action="store_true",
+                        help="serve the agent LLM with int8 weight-only "
+                        "quantization (merges LoRA, ~halves LLM HBM bytes; "
+                        "fits the 13B-class SEED-X on one 16 GB v5e)")
     parser.add_argument("--prompt", default="")
     parser.add_argument("--negative-prompt", default=None)
     parser.add_argument("--height", type=int, default=1024)
@@ -132,9 +136,36 @@ def main(argv=None):
         from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
         from diffsensei_tpu.utils.load import load_agent_weights
         acfg = AgentConfig() if args.preset == "sdxl" else AgentConfig.tiny()
-        agent = load_agent_weights(
-            ContinuousLVLM.build(acfg, jax.random.key(1)),
-            args.agent_weights)
+        if args.quantize_llm:
+            # 13B-path memory discipline: never materialize bf16 LLM weights
+            # on the chip — build abstract, port the checkpoint host-side,
+            # quantize host-side (numpy), ship int8 + the small resamplers.
+            import dataclasses as _dc
+
+            from diffsensei_tpu.models.mllm.quant import quantize_agent
+            agent = ContinuousLVLM.build(acfg, jax.random.key(1),
+                                         abstract=True)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                agent = load_agent_weights(agent, args.agent_weights)
+            for name in ("input_resampler_params", "output_resampler_params"):
+                leaves = jax.tree_util.tree_leaves(getattr(agent, name))
+                if any(isinstance(x, jax.ShapeDtypeStruct) for x in leaves):
+                    raise SystemExit(f"--quantize-llm: agent checkpoint is "
+                                     f"missing the {name.split('_par')[0]} "
+                                     "group")
+            agent = quantize_agent(agent)   # raises if llm group missing
+            agent = _dc.replace(
+                agent,
+                llm_params=jax.device_put(agent.llm_params),
+                input_resampler_params=jax.device_put(
+                    agent.input_resampler_params),
+                output_resampler_params=jax.device_put(
+                    agent.output_resampler_params))
+        else:
+            agent = load_agent_weights(
+                ContinuousLVLM.build(acfg, jax.random.key(1)),
+                args.agent_weights)
         if args.mllm_tokenizer:
             mllm_spec = mllm_spec_from_tokenizer(args.mllm_tokenizer)
     pcfg = PipelineConfig()

@@ -1,0 +1,172 @@
+"""Int8 weight-only quantization of the SEED-X LLM (models/mllm/quant.py).
+
+The serving lever that fits the 13B-class LLaMA (reference
+``scripts/demo/gradio.py:257-270`` serves it fp16 on a large-HBM GPU) on a
+single 16 GB v5e: per-output-channel int8 weights + fp32 scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsensei_tpu.core.config import AgentConfig
+from diffsensei_tpu.models.mllm.llama import LlamaForCausalLM
+from diffsensei_tpu.models.mllm.quant import (
+    merge_llm_lora, quantize_agent, quantize_kernel, quantize_llm_params)
+from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
+
+
+def _tiny_agent(lora_rank=0, seed=0):
+    return ContinuousLVLM.build(AgentConfig.tiny(), jax.random.key(seed),
+                                dtype=jnp.float32, lora_rank=lora_rank)
+
+
+def test_quantize_kernel_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.03, (64, 48)).astype(np.float32)
+    q, s = quantize_kernel(w)
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    deq = q.astype(np.float32) * s[None, :]
+    # symmetric rounding error is at most half a quantization step per entry
+    assert np.max(np.abs(deq - w)) <= 0.5 * np.max(s) + 1e-7
+    # zero column must not produce NaNs
+    w[:, 3] = 0.0
+    q, s = quantize_kernel(w)
+    assert np.all(q[:, 3] == 0) and np.isfinite(s).all()
+
+
+def test_quantized_logits_match_fp32():
+    agent = _tiny_agent()
+    qagent = quantize_agent(agent)
+    ids = np.arange(1, 13, dtype=np.int32)[None]
+    logits, hidden, _ = agent.llm.apply(agent.llm_params, jnp.asarray(ids))
+    qlogits, qhidden, _ = qagent.llm.apply(qagent.llm_params, jnp.asarray(ids))
+    l, ql = np.asarray(logits, np.float64), np.asarray(qlogits, np.float64)
+    cos = (l * ql).sum() / (np.linalg.norm(l) * np.linalg.norm(ql))
+    assert cos > 0.999, cos
+    rel = np.abs(ql - l).max() / (np.abs(l).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_merge_llm_lora_folds_adapters():
+    agent = _tiny_agent(lora_rank=4)
+    params = jax.tree.map(lambda x: x, agent.llm_params)
+    # make one adapter non-trivial (init has B=0 -> merge would be identity)
+    node = params["params"]["layers_0"]["attn"]["q_proj"]
+    node["lora_b"] = jnp.ones_like(node["lora_b"]) * 0.01
+    ids = jnp.asarray(np.arange(1, 9, dtype=np.int32)[None])
+    ref_logits, _, _ = agent.llm.apply(params, ids)
+
+    merged = merge_llm_lora(params)
+    flat = jax.tree_util.tree_flatten_with_path(merged)[0]
+    assert not any("lora" in str(p) for p, _ in flat)
+    llm0 = LlamaForCausalLM(agent.llm.config, lora_rank=0,
+                            dtype=jnp.float32, param_dtype=jnp.float32)
+    merged_logits, _, _ = llm0.apply(merged, ids)
+    np.testing.assert_allclose(np.asarray(merged_logits),
+                               np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_param_structure_and_passthrough():
+    agent = _tiny_agent()
+    q = quantize_llm_params(agent.llm_params)
+    p = q["params"]
+    base = p["layers_0"]["attn"]["q_proj"]["base"]
+    assert set(base) == {"kernel_q", "kernel_scale"}
+    assert base["kernel_q"].dtype == jnp.int8
+    assert set(p["lm_head"]) == {"kernel_q", "kernel_scale"}
+    # embeddings and norms pass through bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(p["embed_tokens"]["embedding"]),
+        np.asarray(agent.llm_params["params"]["embed_tokens"]["embedding"]))
+    np.testing.assert_array_equal(
+        np.asarray(p["norm"]["weight"]),
+        np.asarray(agent.llm_params["params"]["norm"]["weight"]))
+
+
+def test_quantized_generate_ladder_fires():
+    agent = quantize_agent(_tiny_agent())
+    cfg = agent.config
+    nq = cfg.input_resampler.num_queries
+    vocab = cfg.llm.vocab_size
+    ladder = np.arange(vocab - nq - 2, vocab, dtype=np.int64)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, vocab - nq - 4, (1, 8)).astype(np.int32)
+    prompt[0, -1] = int(ladder[0])
+    image_embeds = jnp.asarray(
+        rng.normal(size=(1, 5, cfg.input_resampler.kv_dim)), jnp.float32)
+    mask = np.zeros((1, 8), bool)
+    mask[0, 1:1 + nq] = True
+    out = agent.generate(prompt, image_embeds=image_embeds,
+                         ids_cmp_mask=jnp.asarray(mask), ladder_ids=ladder,
+                         max_new_tokens=nq + 4)
+    assert out["num_gen_imgs"] >= 1
+    assert out["img_gen_feat"].shape[1] == cfg.output_resampler.num_queries
+
+
+def test_quantized_build_random_init_runs():
+    agent = ContinuousLVLM.build(AgentConfig.tiny(), jax.random.key(0),
+                                 dtype=jnp.float32, quantized=True)
+    base = agent.llm_params["params"]["layers_0"]["mlp"]["gate_proj"]["base"]
+    assert base["kernel_q"].dtype == jnp.int8
+    logits, _, _ = agent.llm.apply(
+        agent.llm_params, jnp.asarray(np.arange(1, 9, dtype=np.int32)[None]))
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_abstract_build_port_quantize_serving_path(tmp_path):
+    """The serve/cli.py --quantize-llm flow: abstract build (no param
+    materialization — the 13B tree cannot be random-initialized on chip),
+    port a torch agent checkpoint, quantize, and decode."""
+    import os
+
+    import torch
+
+    from diffsensei_tpu.utils import export_torch
+    from diffsensei_tpu.utils.load import load_agent_weights
+
+    acfg = AgentConfig.tiny()
+    src = ContinuousLVLM.build(acfg, jax.random.key(1), lora_rank=2)
+    sd = export_torch.export_agent_ckpt(
+        src.llm_params, src.input_resampler_params,
+        src.output_resampler_params, acfg.llm.num_layers)
+    path = tmp_path / "pytorch_model.bin"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+
+    dst = ContinuousLVLM.build(acfg, jax.random.key(0), lora_rank=2,
+                               abstract=True)
+    assert isinstance(jax.tree_util.tree_leaves(dst.llm_params)[0],
+                      jax.ShapeDtypeStruct)
+    dst = load_agent_weights(dst, os.fspath(path))
+    qagent = quantize_agent(dst)
+
+    ids = jnp.asarray(np.arange(1, 9, dtype=np.int32)[None])
+    ref, _, _ = src.llm.apply(src.llm_params, ids)
+    got, _, _ = qagent.llm.apply(qagent.llm_params, ids)
+    r, g = np.asarray(ref, np.float64), np.asarray(got, np.float64)
+    cos = (r * g).sum() / (np.linalg.norm(r) * np.linalg.norm(g))
+    assert cos > 0.999, cos
+
+
+def test_quantize_agent_rejects_abstract_tree():
+    agent = ContinuousLVLM.build(AgentConfig.tiny(), jax.random.key(0),
+                                 abstract=True)
+    with pytest.raises(ValueError, match="abstract"):
+        quantize_agent(agent)
+
+
+def test_quantized_tp_sharding_rules():
+    from jax.sharding import PartitionSpec as P
+    from diffsensei_tpu.parallel.mesh import (
+        llm_param_sharding_rules, spec_for)
+    rules = llm_param_sharding_rules()
+    assert spec_for("params.layers_0.attn.q_proj.base.kernel_q",
+                    rules) == P(None, "model")
+    assert spec_for("params.layers_0.attn.q_proj.base.kernel_scale",
+                    rules) == P("model")
+    assert spec_for("params.layers_0.mlp.down_proj.base.kernel_q",
+                    rules) == P("model", None)
+    assert spec_for("params.layers_0.mlp.down_proj.base.kernel_scale",
+                    rules) == P()
+    assert spec_for("params.lm_head.kernel_q", rules) == P(None, "model")

@@ -15,7 +15,9 @@ reports decode tokens/s with the ladder forcing live.
 
 Usage: python tools/bench_agent_decode.py
 Env: AGENT_BENCH_HIDDEN (2048), AGENT_BENCH_LAYERS (24),
-     AGENT_BENCH_NEW_TOKENS (128), AGENT_BENCH_PROMPT (64).
+     AGENT_BENCH_NEW_TOKENS (128), AGENT_BENCH_PROMPT (64),
+     AGENT_BENCH_QUANT (0; 1 = int8 weight-only serving LLM — halves weight
+     bytes of the HBM-bound decode; the single-chip path for 13B-class).
 """
 
 import dataclasses
@@ -43,6 +45,7 @@ def main():
     layers = int(os.environ.get("AGENT_BENCH_LAYERS", "24"))
     new_tokens = int(os.environ.get("AGENT_BENCH_NEW_TOKENS", "128"))
     prompt_len = int(os.environ.get("AGENT_BENCH_PROMPT", "64"))
+    quant = os.environ.get("AGENT_BENCH_QUANT", "0") == "1"
 
     llm = LlamaConfig(vocab_size=32330, hidden_size=hidden,
                       intermediate_size=hidden * 11 // 4 // 128 * 128,
@@ -60,11 +63,17 @@ def main():
     n_params = (llm.vocab_size * hidden * 2
                 + layers * (4 * hidden * hidden + 3 * hidden
                             * llm.intermediate_size))
+    matrix_params = n_params - llm.vocab_size * hidden  # all but embed
+    weight_gb = (matrix_params * (1 if quant else 2)
+                 + llm.vocab_size * hidden * 2) / 2**30
     print(f"# LLaMA geometry: hidden={hidden} layers={layers} "
-          f"~{n_params/1e9:.2f}B params, bf16", flush=True)
+          f"~{n_params/1e9:.2f}B params, "
+          f"{'int8 weight-only' if quant else 'bf16'} (~{weight_gb:.1f} GB)",
+          flush=True)
 
     t0 = time.perf_counter()
-    agent = ContinuousLVLM.build(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    agent = ContinuousLVLM.build(cfg, jax.random.key(0), dtype=jnp.bfloat16,
+                                 quantized=quant)
     print(f"# build+init: {time.perf_counter()-t0:.1f}s", flush=True)
 
     nq = cfg.input_resampler.num_queries
@@ -101,6 +110,7 @@ def main():
            "prompt_len": prompt_len, "new_tokens": new_tokens,
            "ms_per_token": round(decode_s / new_tokens * 1000, 2),
            "num_gen_imgs": int(out["num_gen_imgs"]),
+           "weights": "int8" if quant else "bf16",
            "backend": jax.default_backend()}, flush=True)
 
 
