@@ -252,3 +252,59 @@ def test_tp_sharded_agent_decode_matches_single_device(eight_devices):
     np.testing.assert_allclose(np.asarray(out["img_gen_feat"]),
                                np.asarray(ref["img_gen_feat"]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_tp_sharded_int8_decode_matches_single_device(eight_devices):
+    """int8 weight-only decode under TP: the quantized kernel_q/kernel_scale
+    leaves shard by the extended Megatron rules and the ladder decode stays
+    numerically identical to the single-device int8 decode — the layout for
+    serving the 13B-class LLM across chips with halved per-chip HBM."""
+    import dataclasses
+
+    from diffsensei_tpu.core.config import AgentConfig
+    from diffsensei_tpu.models.mllm.quant import quantize_agent
+    from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
+
+    cfg = AgentConfig.tiny()
+    agent = quantize_agent(ContinuousLVLM.build(cfg, jax.random.key(0)))
+    nq = cfg.input_resampler.num_queries
+    vocab = cfg.llm.vocab_size
+    ladder = np.arange(vocab - nq - 2, vocab, dtype=np.int64)
+    rng = np.random.default_rng(4)
+
+    prompt = np.full((2, 6 + nq), 7, np.int32)
+    prompt[:, 2:2 + nq] = 11
+    prompt[:, -1] = int(ladder[0])
+    ids_cmp = np.zeros_like(prompt, bool)
+    ids_cmp[:, 2:2 + nq] = True
+    image_embeds = jnp.asarray(
+        rng.normal(size=(2, 1, nq, cfg.input_resampler.kv_dim)), jnp.float32)
+    kwargs = dict(image_embeds=image_embeds,
+                  ids_cmp_mask=jnp.asarray(ids_cmp),
+                  ladder_ids=ladder, max_new_tokens=nq + 4)
+    ref = agent.generate(prompt, **kwargs)
+
+    mesh = make_mesh(MeshSpec(data=4, model=2), eight_devices)
+    rules = llm_param_sharding_rules()
+    # the quantized leaves must actually pick up model-axis specs
+    specs = param_specs(agent.llm_params, rules)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    qspecs = [s for p, s in flat if "kernel_q" in str(p)]
+    assert qspecs and all(s != P() for s in qspecs)
+
+    replicate = ((r".*", P()),)
+    sharded = dataclasses.replace(
+        agent,
+        llm_params=shard_params(agent.llm_params, mesh, rules),
+        input_resampler_params=shard_params(agent.input_resampler_params,
+                                            mesh, replicate),
+        output_resampler_params=shard_params(agent.output_resampler_params,
+                                             mesh, replicate))
+    kv_sharding = NamedSharding(mesh, P(None, "model", None, None))
+    out = sharded.generate(prompt, kv_sharding=kv_sharding, **kwargs)
+
+    np.testing.assert_array_equal(out["output_ids"], ref["output_ids"])
+    assert out["num_gen_imgs"] == ref["num_gen_imgs"] == 2
+    np.testing.assert_allclose(np.asarray(out["img_gen_feat"]),
+                               np.asarray(ref["img_gen_feat"]),
+                               rtol=2e-4, atol=2e-5)
