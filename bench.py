@@ -67,7 +67,38 @@ def _snapshot_params(unet, init_args):
     return params, load_s, created_s
 
 
+def _wait_for_backend(max_tries: int = 12, sleep_s: float = 60.0) -> None:
+    """Gate on device availability before any in-process backend init.
+
+    The axon tunnel goes unavailable for minutes-scale windows (observed
+    2026-08-17: `jax.devices()` hangs/raises UNAVAILABLE). Probe from a
+    subprocess — sidestepping any in-process backend-error caching — and
+    only proceed once a probe succeeds, so a transient outage delays the
+    bench instead of losing the round's artifact."""
+    import subprocess
+    import sys
+
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=150, capture_output=True)
+            if r.returncode == 0:
+                if i:
+                    print(f"# backend recovered after {i} retries", flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend unavailable (probe {i + 1}/{max_tries}); "
+              f"retrying in {sleep_s:.0f}s", flush=True)
+        time.sleep(sleep_s)
+    print("# backend still unavailable — proceeding (will fail loudly)",
+          flush=True)
+
+
 def main() -> None:
+    _wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
