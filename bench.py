@@ -493,6 +493,9 @@ def main() -> None:
         "mllm_decode_s": (round(mllm["decode_s"], 3) if mllm else None),
         "mllm_decode_tokens_per_sec": (
             round(mllm["tokens_per_sec"], 1) if mllm else None),
+        "mllm_decode_int8_tokens_per_sec": (
+            round(mllm["int8_tokens_per_sec"], 1)
+            if mllm and mllm.get("int8_tokens_per_sec") else None),
         "mllm_llm_geometry": (mllm["geometry"] if mllm else None),
         "param_load_s": round(load_s, 2),
         "snapshot_created_s": (round(created_s, 1) if created_s else None),
@@ -534,8 +537,6 @@ def _bench_mllm_adaptation(manga):
             kv_dim=2048),
         output_resampler=QwenResamplerConfig(
             grid_size=8, embed_dim=2048, num_heads=16, kv_dim=hidden))
-    agent = ContinuousLVLM.build(acfg, jax.random.key(0), dtype=jnp.bfloat16)
-
     nq = acfg.input_resampler.num_queries                       # 64
     ladder = np.arange(llm.vocab_size - nq - 2, llm.vocab_size,
                        dtype=np.int64)
@@ -549,27 +550,45 @@ def _bench_mllm_adaptation(manga):
     image_embeds = jnp.asarray(
         rng.normal(size=(1, nq, acfg.input_resampler.kv_dim)), jnp.bfloat16)
 
-    def run():
-        out = agent.generate(prompt, image_embeds=image_embeds,
-                             ids_cmp_mask=jnp.asarray(ids_cmp),
-                             ladder_ids=ladder, max_new_tokens=max_new)
-        feat = out["img_gen_feat"]
-        assert out["num_gen_imgs"] >= 1, "ladder did not fire"
-        # blend by mllm_scale (gradio.py:108-109)
-        blended = feat[:1] * 0.4 + image_embeds.astype(feat.dtype) * 0.6
-        return float(jnp.sum(blended))
+    def measure(agent):
+        def run():
+            out = agent.generate(prompt, image_embeds=image_embeds,
+                                 ids_cmp_mask=jnp.asarray(ids_cmp),
+                                 ladder_ids=ladder, max_new_tokens=max_new)
+            feat = out["img_gen_feat"]
+            assert out["num_gen_imgs"] >= 1, "ladder did not fire"
+            # blend by mllm_scale (gradio.py:108-109)
+            blended = feat[:1] * 0.4 + image_embeds.astype(feat.dtype) * 0.6
+            return float(jnp.sum(blended))
 
-    run()                                  # compile + barrier
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    decode_s = min(times)    # min-of-3: tunnel-contention robustness
+        run()                              # compile + barrier
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        return min(times)    # min-of-3: tunnel-contention robustness
+
+    agent = ContinuousLVLM.build(acfg, jax.random.key(0), dtype=jnp.bfloat16)
+    decode_s = measure(agent)
+    del agent
+    # int8 weight-only serving variant (same decode, halved weight bytes)
+    int8_s = None
+    try:
+        qagent = ContinuousLVLM.build(acfg, jax.random.key(0),
+                                      dtype=jnp.bfloat16, quantized=True)
+        int8_s = measure(qagent)
+        del qagent
+    except Exception as e:  # noqa: BLE001 — int8 leg is supplementary
+        print(f"# mllm int8 sub-leg skipped: {type(e).__name__}: {e}")
+    n_params = (llm.vocab_size * hidden * 2
+                + layers * (4 * hidden * hidden
+                            + 3 * hidden * llm.intermediate_size))
     return {"decode_s": decode_s,
             "tokens_per_sec": max_new / decode_s,
+            "int8_tokens_per_sec": (max_new / int8_s if int8_s else None),
             "geometry": f"hidden={hidden} layers={layers} bf16 "
-                        f"(~{(llm.vocab_size * hidden * 2 + layers * (4 * hidden * hidden + 3 * hidden * llm.intermediate_size)) / 1e9:.2f}B)"}
+                        f"(~{n_params / 1e9:.2f}B)"}
 
 
 def _measure_cold_ttf():
