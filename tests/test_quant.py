@@ -149,6 +149,54 @@ def test_abstract_build_port_quantize_serving_path(tmp_path):
     assert cos > 0.999, cos
 
 
+def test_serve_cli_quantize_llm_wiring(tmp_path, monkeypatch):
+    """serve/cli.py --quantize-llm end-to-end on the tiny preset: abstract
+    build → torch-ckpt port → int8 quantize → server receives the quantized
+    agent (and panel generation still works)."""
+    import os
+
+    import torch
+
+    import diffsensei_tpu.serve.api as api
+    from diffsensei_tpu.serve import cli
+    from diffsensei_tpu.utils import export_torch
+
+    acfg = AgentConfig.tiny()
+    src = ContinuousLVLM.build(acfg, jax.random.key(1))  # config lora rank
+    sd = export_torch.export_agent_ckpt(
+        src.llm_params, src.input_resampler_params,
+        src.output_resampler_params, acfg.llm.num_layers)
+    ckpt = tmp_path / "pytorch_model.bin"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, ckpt)
+
+    captured = {}
+    real_server = api.DiffSenseiServer
+
+    class Recording(real_server):
+        def __init__(self, *a, **kw):
+            captured["agent"] = kw.get("agent")
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(api, "DiffSenseiServer", Recording)
+    out = os.fspath(tmp_path / "panel.png")
+    cli.main(["--preset", "tiny", "--height", "256", "--width", "256",
+              "--steps", "2", "--prompt", "a hero",
+              "--agent-weights", os.fspath(ckpt), "--quantize-llm",
+              "--out", out])
+
+    agent = captured["agent"]
+    assert agent is not None and agent.llm.quantized
+    base = agent.llm_params["params"]["layers_0"]["attn"]["q_proj"]["base"]
+    assert base["kernel_q"].dtype == jnp.int8
+    # values match the direct merge+quantize of the source agent
+    expect = quantize_agent(src)
+    np.testing.assert_array_equal(
+        np.asarray(base["kernel_q"]),
+        np.asarray(expect.llm_params["params"]["layers_0"]["attn"]["q_proj"]
+                   ["base"]["kernel_q"]))
+    assert os.path.exists(out)
+
+
 def test_quantize_agent_rejects_abstract_tree():
     agent = ContinuousLVLM.build(AgentConfig.tiny(), jax.random.key(0),
                                  abstract=True)
