@@ -243,7 +243,27 @@ class UNetMangaModel(nn.Module):
                  pooled_text_embeds, time_ids,
                  ip_hidden_states=None, ip_attn_bias=None,
                  ip_scale: jnp.ndarray | float = 1.0,
-                 dialog_bbox=None):
+                 dialog_bbox=None,
+                 deep_feature=None, cache_split: int = 2,
+                 return_deep: bool = False):
+        """Deep-feature caching (DeepCache-family, arXiv:2312.03209 /
+        2312.09608 lineage — denoise features at the inner UNet levels drift
+        slowly across adjacent steps, so most steps can reuse them):
+
+        * ``return_deep=True`` additionally returns the up-path feature just
+          after it is upsampled back to level ``cache_split - 1`` resolution —
+          the output of the "deep subtree" (down levels >= cache_split, mid,
+          up levels >= cache_split).
+        * ``deep_feature`` (from a previous step's ``return_deep``) skips that
+          whole subtree and splices the cached feature into the up path.
+
+        Exactness contract: ``full(x)[0] == apply(x, deep_feature=full(x)[1])``
+        bit-for-bit — caching across steps is the only approximation. At SDXL
+        geometry ``cache_split=2`` skips 60 of the 70 transformer layers and
+        the 32² resnets while keeping every masked-IP level-1 cross-attention
+        live each step. Serving knob: ``DiffSenseiPipeline(...,
+        deep_cache_interval=N)``; OPT-IN — quality/fidelity is approximate for
+        N > 1 (the reference has no counterpart)."""
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         tkw = dict(kw, lora_rank=cfg.lora_rank)
@@ -297,10 +317,15 @@ class UNetMangaModel(nn.Module):
 
         n_levels = len(cfg.block_out_channels)
         tlayers = cfg.transformer_layers_per_block
+        use_cache = deep_feature is not None
+        if (use_cache or return_deep) and not 1 <= cache_split < n_levels:
+            raise ValueError(f"cache_split must be in [1, {n_levels - 1}], "
+                             f"got {cache_split}")
 
-        # --- down path (reference unet.py:244-265)
+        # --- down path (reference unet.py:244-265); with a cached deep
+        # feature only the shallow levels (< cache_split) run
         skips = [x]
-        for level in range(n_levels):
+        for level in range(cache_split if use_cache else n_levels):
             ch = cfg.block_out_channels[level]
             heads = ch // cfg.head_dim
             for j in range(cfg.layers_per_block):
@@ -312,23 +337,33 @@ class UNetMangaModel(nn.Module):
                         name=f"down_{level}_attn_{j}", **tkw)(
                         x, *attn_args(level))
                 skips.append(x)
-            if level < n_levels - 1:
+            if level < n_levels - 1 and not (use_cache
+                                             and level == cache_split - 1):
+                # the level-(split-1) downsample feeds only the skipped
+                # subtree (its skip is consumed inside it too)
                 x = Downsample2D(ch, name=f"down_{level}_downsample", **kw)(x)
                 skips.append(x)
 
-        # --- mid block (reference unet.py:279-298)
-        mid_ch = cfg.block_out_channels[-1]
-        x = ResBlock(mid_ch, cfg.norm_num_groups,
-                          name="mid_resnet_0", **kw)(x, temb)
-        x = tfm_block(n_levels - 1)(
-            cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
-            cfg.norm_num_groups, name="mid_attn", **tkw)(
-            x, *attn_args(n_levels - 1))
-        x = ResBlock(mid_ch, cfg.norm_num_groups,
-                          name="mid_resnet_1", **kw)(x, temb)
+        deep_out = None
+        if not use_cache:
+            # --- mid block (reference unet.py:279-298)
+            mid_ch = cfg.block_out_channels[-1]
+            x = ResBlock(mid_ch, cfg.norm_num_groups,
+                              name="mid_resnet_0", **kw)(x, temb)
+            x = tfm_block(n_levels - 1)(
+                cfg.mid_transformer_layers, mid_ch // cfg.head_dim,
+                cfg.norm_num_groups, name="mid_attn", **tkw)(
+                x, *attn_args(n_levels - 1))
+            x = ResBlock(mid_ch, cfg.norm_num_groups,
+                              name="mid_resnet_1", **kw)(x, temb)
+        else:
+            x = deep_feature.astype(self.dtype)
 
-        # --- up path (reference unet.py:304-332)
+        # --- up path (reference unet.py:304-332); rev numbering (and so
+        # param names) always counts from the deepest level
         for rev, level in enumerate(reversed(range(n_levels))):
+            if use_cache and level >= cache_split:
+                continue
             ch = cfg.block_out_channels[level]
             heads = ch // cfg.head_dim
             for j in range(cfg.layers_per_block + 1):
@@ -348,12 +383,17 @@ class UNetMangaModel(nn.Module):
                 # upsample_size the same way at unet forward :304-332)
                 x = Upsample2D(ch, name=f"up_{rev}_upsample", **kw)(
                     x, output_size=skips[-1].shape[1:3])
+                if return_deep and level == cache_split:
+                    deep_out = x
 
         # --- output head (reference unet.py:335-338)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
                          name="conv_norm_out", **kw)(x)
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw)(x)
+        if return_deep:
+            # a cached call skips the capture point — pass the cache through
+            return x, (deep_feature if deep_out is None else deep_out)
         return x
 
 

@@ -247,40 +247,81 @@ class PipelineModules:
 # ---------------------------------------------------------------------------
 # Jitted core: the denoising loop (one compile per shape/step-count key)
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("unet", "use_ip"))
+@functools.partial(jax.jit, static_argnames=("unet", "use_ip",
+                                              "cache_interval", "cache_split"))
 def _denoise(unet: UNetMangaModel, unet_params, sampler: SamplerState,
              latents, ctx, pooled, time_ids, ip_tokens, ip_biases,
-             dialog_bbox, guidance_scale, ip_scale, *, use_ip: bool):
-    """CFG denoise: all conditioning arrives pre-doubled [neg; pos] on axis 0."""
+             dialog_bbox, guidance_scale, ip_scale, *, use_ip: bool,
+             cache_interval: Optional[int] = None, cache_split: int = 2):
+    """CFG denoise: all conditioning arrives pre-doubled [neg; pos] on axis 0.
 
-    def cfg_eps(i, lat):
-        lat_in = jnp.concatenate([lat, lat], axis=0)
-        lat_in = scale_model_input(sampler, lat_in, i)
-        t = jnp.broadcast_to(sampler.timesteps[i], (lat_in.shape[0],))
-        eps = unet.apply(
+    ``cache_interval=N`` enables DeepCache-style serving: the UNet's deep
+    subtree (levels >= ``cache_split`` + mid) recomputes only every N-th step
+    and is reused in between via ``lax.cond`` — both step variants live in
+    the ONE compiled loop program. N=1 is bit-identical to no caching; N>1
+    is an approximation (opt-in quality/speed knob)."""
+
+    def _apply(lat_in, t, **kwargs):
+        return unet.apply(
             unet_params, lat_in, t, ctx, pooled, time_ids,
             ip_hidden_states=ip_tokens if use_ip else None,
             ip_attn_bias=ip_biases if use_ip else None,
             ip_scale=ip_scale,
-            dialog_bbox=dialog_bbox)
+            dialog_bbox=dialog_bbox, **kwargs)
+
+    def cfg_eps(i, lat, deep=None):
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = scale_model_input(sampler, lat_in, i)
+        t = jnp.broadcast_to(sampler.timesteps[i], (lat_in.shape[0],))
+        if cache_interval is None:
+            eps, new_deep = _apply(lat_in, t), None
+        else:
+            def full(args):
+                lat_in, deep = args
+                eps, g = _apply(lat_in, t, return_deep=True,
+                                cache_split=cache_split)
+                return eps, g.astype(deep.dtype)
+
+            def cached(args):
+                lat_in, deep = args
+                eps = _apply(lat_in, t, deep_feature=deep,
+                             cache_split=cache_split)
+                return eps, deep
+
+            eps, new_deep = jax.lax.cond(i % cache_interval == 0,
+                                         full, cached, (lat_in, deep))
         eps_neg, eps_pos = jnp.split(eps, 2, axis=0)
-        return eps_neg + guidance_scale * (eps_pos - eps_neg)
+        return eps_neg + guidance_scale * (eps_pos - eps_neg), new_deep
+
+    deep0 = None
+    if cache_interval is not None:
+        cfgm = unet.config
+        dh, dw = level_spatial_shape(cfgm, latents.shape[1], latents.shape[2],
+                                     cache_split - 1)
+        deep0 = jnp.zeros((2 * latents.shape[0], dh, dw,
+                           cfgm.block_out_channels[cache_split]), unet.dtype)
 
     if sampler.is_multistep:
         # DPM-Solver++ (2M): the loop additionally carries the previous x0
         def body(i, carry):
-            lat, prev_x0 = carry
-            return multistep_step(sampler, cfg_eps(i, lat), i, lat, prev_x0)
+            lat, prev_x0, deep = carry
+            eps, new_deep = cfg_eps(i, lat, deep)
+            lat, prev_x0 = multistep_step(sampler, eps, i, lat, prev_x0)
+            return lat, prev_x0, new_deep
 
-        final, _ = jax.lax.fori_loop(
+        final, _, _ = jax.lax.fori_loop(
             0, sampler.num_steps, body,
-            (latents, jnp.zeros_like(latents)))
+            (latents, jnp.zeros_like(latents), deep0))
         return final
 
-    def body(i, lat):
-        return scheduler_step(sampler, cfg_eps(i, lat), i, lat)
+    def body(i, carry):
+        lat, deep = carry
+        eps, new_deep = cfg_eps(i, lat, deep)
+        return scheduler_step(sampler, eps, i, lat), new_deep
 
-    return jax.lax.fori_loop(0, sampler.num_steps, body, latents)
+    final, _ = jax.lax.fori_loop(0, sampler.num_steps, body,
+                                 (latents, deep0))
+    return final
 
 
 @functools.partial(jax.jit, static_argnames=("vae",))
@@ -518,13 +559,20 @@ class DiffSenseiPipeline:
         snap_to_buckets: bool = True,
         prompt_ids: Optional[Dict[str, jnp.ndarray]] = None,
         return_latents: bool = False,
+        deep_cache_interval: Optional[int] = None,
+        deep_cache_split: int = 2,
     ) -> jnp.ndarray:
         """Generate panels; returns [num_samples, H, W, 3] in [0, 1] (fp32).
 
         ``ip_pixel_values`` and ``ip_image_embeds`` follow the reference's mutual
         contract (``check_inputs``, ``:81-102``): embeds, when given, are pasted
         over the encoded characters.
-        """
+
+        ``deep_cache_interval=N`` (opt-in) recomputes the UNet's deep subtree
+        (levels >= ``deep_cache_split`` + mid) only every N-th denoise step,
+        reusing the cached feature in between (DeepCache-family speed/quality
+        knob; N=1 is exact, N=2-3 typical). Masked-IP cross-attention at the
+        shallow levels stays live every step."""
         cfg = self.config
         m = self.m
         manga = m.manga
@@ -604,7 +652,8 @@ class DiffSenseiPipeline:
             m.unet, m.unet_params, sampler, latents, ctx, pooled, time_ids,
             ip_tokens, ip_biases if use_ip else None,
             dialog_arr, jnp.asarray(gscale, jnp.float32),
-            jnp.asarray(ipscale, jnp.float32), use_ip=use_ip)
+            jnp.asarray(ipscale, jnp.float32), use_ip=use_ip,
+            cache_interval=deep_cache_interval, cache_split=deep_cache_split)
 
         if return_latents:
             return latents

@@ -44,6 +44,10 @@ class GenerationRequest:
     ip_scale: Optional[float] = None
     mllm_scale: Optional[float] = None   # only used when an agent is attached
     prompt_ids: Optional[dict] = None    # test hook: pre-tokenized prompts
+    # DeepCache-style serving knob: recompute the UNet's deep subtree every
+    # N-th denoise step (None/1 = exact; 2-3 = faster, approximate)
+    deep_cache_interval: Optional[int] = None
+    deep_cache_split: int = 2
 
 
 class DiffSenseiServer:
@@ -124,6 +128,8 @@ class DiffSenseiServer:
             ip_scale=req.ip_scale,
             dialog_bbox=dialog_bbox,
             prompt_ids=req.prompt_ids,
+            deep_cache_interval=req.deep_cache_interval,
+            deep_cache_split=req.deep_cache_split,
         )
         return np.asarray(images)
 

@@ -86,6 +86,12 @@ def main(argv=None):
                         help="x1,y1,x2,y2 relative, one per character")
     parser.add_argument("--dialog-bbox", action="append", default=[])
     parser.add_argument("--ip-scale", type=float, default=None)
+    parser.add_argument("--deep-cache", type=int, default=None,
+                        help="DeepCache interval N: recompute the UNet's "
+                        "deep subtree every N-th denoise step (1 = exact; "
+                        "2-3 = faster, approximate)")
+    parser.add_argument("--deep-cache-split", type=int, default=2,
+                        help="UNet level boundary for --deep-cache")
     parser.add_argument("--scheduler", default=None,
                         choices=["euler_discrete", "ddim", "dpmsolver++"],
                         help="sampler (default: config euler_discrete; "
@@ -191,6 +197,8 @@ def main(argv=None):
         ip_bbox=_parse_bbox(args.ip_bbox),
         dialog_bbox=_parse_bbox(args.dialog_bbox),
         ip_scale=args.ip_scale,
+        deep_cache_interval=args.deep_cache,
+        deep_cache_split=args.deep_cache_split,
     )
     # tiny preset has no tokenizers: hash the prompt into ids
     if modules.tokenizer is None:

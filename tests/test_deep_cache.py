@@ -1,0 +1,109 @@
+"""DeepCache-style deep-feature caching (models/unet.py deep_feature /
+pipelines/pipeline.py deep_cache_interval).
+
+Opt-in serving knob from the retrieved acceleration literature (PAPERS.md:
+"Cache Me if You Can" arXiv:2312.03209, "Faster Diffusion" arXiv:2312.09608):
+the UNet's deep subtree recomputes every N-th denoise step. The exactness
+contract is mechanical, so it is testable without quality judgment:
+``full(x)[0] == apply(x, deep_feature=full(x)[1])`` bit-for-bit, and an
+interval of 1 reproduces the uncached pipeline exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsensei_tpu.core.config import UNetConfig
+from diffsensei_tpu.models.unet import UNetMangaModel
+
+from tests.test_models import _unet_inputs
+
+
+@pytest.fixture(scope="module")
+def tiny_unet_params():
+    cfg = UNetConfig.tiny()
+    model = UNetMangaModel(cfg)
+    inputs = _unet_inputs(cfg)
+    params = model.init(jax.random.key(0), **inputs)
+    return cfg, model, params, inputs
+
+
+def test_split_exactness_bitwise(tiny_unet_params):
+    """Same-step contract: splicing the deep feature captured by return_deep
+    back in must reproduce the full forward exactly — caching across STEPS is
+    the only approximation."""
+    cfg, model, params, inputs = tiny_unet_params
+    full, g = model.apply(params, **inputs, return_deep=True, cache_split=1)
+    assert g.shape[:3] == full.shape[:3]  # level-0 resolution
+    assert g.shape[-1] == cfg.block_out_channels[1]
+    cached = model.apply(params, **inputs, deep_feature=g, cache_split=1)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
+def test_cached_forward_differs_on_new_input(tiny_unet_params):
+    """The cached path must actually depend on the shallow input (fresh
+    levels < split) — a different latent with a stale deep feature changes
+    the output."""
+    cfg, model, params, inputs = tiny_unet_params
+    _, g = model.apply(params, **inputs, return_deep=True, cache_split=1)
+    other = dict(inputs)
+    other["sample"] = inputs["sample"] + 1.0
+    a = model.apply(params, **inputs, deep_feature=g, cache_split=1)
+    b = model.apply(params, **other, deep_feature=g, cache_split=1)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def test_invalid_split_raises(tiny_unet_params):
+    cfg, model, params, inputs = tiny_unet_params
+    with pytest.raises(ValueError, match="cache_split"):
+        model.apply(params, **inputs, return_deep=True, cache_split=2)
+
+
+def _tiny_pipe():
+    from diffsensei_tpu.pipelines.pipeline import (
+        DiffSenseiPipeline, PipelineModules)
+    return DiffSenseiPipeline(PipelineModules.tiny(jax.random.key(0)))
+
+
+def _gen(pipe, **kw):
+    rng = np.random.default_rng(7)
+    ids = lambda: jnp.asarray(rng.integers(1, 255, (1, 77)), jnp.int32)
+    return np.asarray(pipe(
+        height=128, width=96, num_inference_steps=4, rng=jax.random.key(1),
+        prompt_ids=dict(ids=ids(), neg_ids=ids(), ids_2=ids(),
+                        neg_ids_2=ids()),
+        ip_pixel_values=jnp.zeros((2, 224, 224, 3)),
+        ip_bbox=[[0, 0, .5, 1], [.5, 0, 1, 1]],
+        dialog_bbox=[[.1, 0, .5, .2]], snap_to_buckets=False, **kw))
+
+
+def test_pipeline_interval_one_is_exact():
+    pipe = _tiny_pipe()
+    base = _gen(pipe)
+    exact = _gen(pipe, deep_cache_interval=1, deep_cache_split=1)
+    np.testing.assert_array_equal(exact, base)
+
+
+def test_pipeline_interval_two_approximates():
+    pipe = _tiny_pipe()
+    base = _gen(pipe)
+    fast = _gen(pipe, deep_cache_interval=2, deep_cache_split=1)
+    assert fast.shape == base.shape
+    assert np.isfinite(fast).all()
+    assert np.abs(fast - base).max() > 0  # the cache actually engaged
+    # same denoising trajectory family: full steps anchor the result
+    assert np.abs(fast - base).mean() < 0.25
+
+
+def test_pipeline_deep_cache_multistep_sampler():
+    import dataclasses
+
+    from diffsensei_tpu.core.config import PipelineConfig
+    from diffsensei_tpu.pipelines.pipeline import (
+        DiffSenseiPipeline, PipelineModules)
+    pipe = DiffSenseiPipeline(
+        PipelineModules.tiny(jax.random.key(0)),
+        dataclasses.replace(PipelineConfig(), scheduler="dpmsolver++"))
+    img = _gen(pipe, deep_cache_interval=2, deep_cache_split=1)
+    assert img.shape == (1, 128, 96, 3) and np.isfinite(img).all()

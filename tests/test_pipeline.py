@@ -140,7 +140,7 @@ def test_micro_conditioning_and_cfg_bboxes(tiny_pipeline, monkeypatch):
 
     def fake_denoise(unet, unet_params, sampler, latents, ctx, pooled,
                      time_ids, ip_tokens, ip_biases, dialog_bbox,
-                     guidance_scale, ip_scale, *, use_ip):
+                     guidance_scale, ip_scale, *, use_ip, **_cache_kwargs):
         captured["time_ids"] = np.asarray(time_ids)
         captured["dialog"] = np.asarray(dialog_bbox)
         return latents
