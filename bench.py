@@ -420,6 +420,62 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"# batched bs={bn} skipped: {type(e).__name__}: {e}")
 
+    # DeepCache serving knob (opt-in product feature, models/unet.py
+    # deep_feature): deep subtree recomputed every N-th step through the
+    # PRODUCT denoise loop (pipelines.pipeline._denoise, lax.cond inside the
+    # compiled fori_loop). Reported as a separate field — the headline
+    # panels/s stays exact. BENCH_SKIP_DEEPCACHE=1 skips; BENCH_DEEP_CACHE
+    # sets N (default 2).
+    deepcache_pps, deepcache_interval = None, None
+    if os.environ.get("BENCH_SKIP_DEEPCACHE") != "1":
+        try:
+            from diffsensei_tpu.pipelines.pipeline import (
+                _denoise as _product_denoise)
+            deepcache_interval = int(os.environ.get("BENCH_DEEP_CACHE", "2"))
+
+            def dc_run(lat):
+                out = _product_denoise(
+                    unet, params, sampler, lat, ctx, pooled, time_ids,
+                    ip_tokens, biases, dialog,
+                    jnp.asarray(7.5, jnp.float32),
+                    jnp.asarray(0.6, jnp.float32), use_ip=True,
+                    cache_interval=deepcache_interval, cache_split=2)
+                float(jnp.sum(out))
+                return out
+
+            lat_dc = jax.random.normal(
+                jax.random.key(30), (b, lh, lw, cfg.in_channels), jnp.float32)
+            dc_run(lat_dc)                       # compile + barrier
+            dc_s = float("inf")
+            for _ in range(3):   # min-of-3: contention robustness
+                t0 = time.perf_counter()
+                lat_dc = dc_run(lat_dc * 0.5 + 0.5)
+                dc_s = min(dc_s, time.perf_counter() - t0)
+            # device-anchored contention retry, same policy as the main leg
+            try:
+                dc_dev_s = _trace_device_ms(
+                    lambda l: _product_denoise(
+                        unet, params, sampler, l, ctx, pooled, time_ids,
+                        ip_tokens, biases, dialog,
+                        jnp.asarray(7.5, jnp.float32),
+                        jnp.asarray(0.6, jnp.float32), use_ip=True,
+                        cache_interval=deepcache_interval, cache_split=2),
+                    lat_dc * 0.5 + 0.5) / 1000
+            except Exception:  # noqa: BLE001
+                dc_dev_s = None
+            for _ in range(2):
+                if not dc_dev_s or dc_s <= 1.15 * dc_dev_s:
+                    break
+                print(f"# contention on deepcache: wall {dc_s:.2f} vs device "
+                      f"{dc_dev_s:.2f} s — retry after 60 s", flush=True)
+                time.sleep(60)
+                t0 = time.perf_counter()
+                lat_dc = dc_run(lat_dc * 0.5 + 0.5)
+                dc_s = min(dc_s, time.perf_counter() - t0)
+            deepcache_pps = b / (cond_s + dc_s + vae_s)
+        except Exception as e:  # noqa: BLE001
+            print(f"# deepcache leg skipped: {type(e).__name__}: {e}")
+
     # full-MLLM pipeline (BASELINE config #4, VERDICT r2 missing #4): char
     # encode + compiled agent ladder decode + blend + diffusion. The released
     # 13B-class LLM needs the TP mesh (dryrun/test-covered); the single-chip
@@ -489,6 +545,9 @@ def main() -> None:
             round(batched_pps[2], 4) if 2 in batched_pps else None),
         "batched_bs4_panels_per_sec": (
             round(batched_pps[4], 4) if 4 in batched_pps else None),
+        "deepcache_panels_per_sec": (
+            round(deepcache_pps, 4) if deepcache_pps else None),
+        "deepcache_interval": (deepcache_interval if deepcache_pps else None),
         "mllm_panels_per_sec": (round(mllm_pps, 4) if mllm_pps else None),
         "mllm_decode_s": (round(mllm["decode_s"], 3) if mllm else None),
         "mllm_decode_tokens_per_sec": (
