@@ -60,6 +60,28 @@ def test_invalid_split_raises(tiny_unet_params):
         model.apply(params, **inputs, return_deep=True, cache_split=2)
 
 
+def test_three_level_splits_exact():
+    """SDXL has three levels; both legal splits must satisfy the same-step
+    exactness contract (the bench/serving default is split=2)."""
+    cfg = UNetConfig(block_out_channels=(32, 64, 64),
+                     layers_per_block=1,
+                     transformer_layers_per_block=(0, 1, 1),
+                     head_dim=16, cross_attention_dim=32,
+                     norm_num_groups=8, mid_transformer_layers=1,
+                     pooled_projection_dim=32,
+                     manga=UNetConfig.tiny().manga)
+    model = UNetMangaModel(cfg)
+    inputs = _unet_inputs(cfg, h=16, w=16)
+    params = model.init(jax.random.key(0), **inputs)
+    for split in (1, 2):
+        full, g = model.apply(params, **inputs, return_deep=True,
+                              cache_split=split)
+        assert g.shape[-1] == cfg.block_out_channels[split]
+        cached = model.apply(params, **inputs, deep_feature=g,
+                             cache_split=split)
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
 def _tiny_pipe():
     from diffsensei_tpu.pipelines.pipeline import (
         DiffSenseiPipeline, PipelineModules)
