@@ -139,7 +139,9 @@ class DiffSenseiServer:
 
     def warmup(self, sizes: Sequence[Tuple[int, int]],
                num_inference_steps: Optional[int] = None,
-               conditioned: bool = True, num_samples: int = 1) -> None:
+               conditioned: bool = True, num_samples: int = 1,
+               deep_cache_interval: Optional[int] = None,
+               deep_cache_split: int = 2) -> None:
         """Precompile the serving programs for the given (H, W) sizes.
 
         One denoise program exists per (bucket, batch, steps) key; a cold
@@ -147,7 +149,8 @@ class DiffSenseiServer:
         the persistent cache, ``core/cache.py``). Run this at server start
         for the sizes production will serve. ``conditioned=True`` warms the
         masked-IP + dialog variant of the program (the unconditioned graph
-        is a different program).
+        is a different program). Pass the ``deep_cache_*`` knobs production
+        will use — the cached-loop program is distinct too.
         """
         manga = self.pipeline.m.manga
         zero_ids = {k: jnp.zeros((1, 77), jnp.int32)
@@ -158,7 +161,9 @@ class DiffSenseiServer:
             kwargs = dict(height=h, width=w,
                           num_inference_steps=num_inference_steps,
                           num_samples=num_samples, rng=jax.random.key(0),
-                          prompt_ids=prompt_ids)
+                          prompt_ids=prompt_ids,
+                          deep_cache_interval=deep_cache_interval,
+                          deep_cache_split=deep_cache_split)
             if conditioned:
                 kwargs.update(
                     ip_pixel_values=jnp.zeros(
