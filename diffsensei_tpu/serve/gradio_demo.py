@@ -98,7 +98,7 @@ def build_demo(server: DiffSenseiServer, with_mllm: Optional[bool] = None):
 
     def run(prompt, negative, height, width, steps, guidance, num_samples,
             seed, char_files, ip_bbox_text, dialog_bbox_text, ip_scale,
-            mllm_scale, ip_canvas=None, dialog_canvas=None):
+            mllm_scale, deep_cache=1, ip_canvas=None, dialog_canvas=None):
         chars = []
         for f in char_files or []:
             path = getattr(f, "name", f)
@@ -117,6 +117,8 @@ def build_demo(server: DiffSenseiServer, with_mllm: Optional[bool] = None):
             dialog_bbox=dialog_boxes,
             ip_scale=float(ip_scale),
             mllm_scale=float(mllm_scale) if with_mllm else None,
+            deep_cache_interval=(int(deep_cache) if int(deep_cache) > 1
+                                 else None),
         )
         return server.generate_pil(req)
 
@@ -166,11 +168,14 @@ def build_demo(server: DiffSenseiServer, with_mllm: Optional[bool] = None):
                 mllm_scale = gr.Slider(0.0, 1.0, value=cfg.mllm_scale,
                                        step=0.05, label="MLLM scale",
                                        visible=with_mllm)
+                deep_cache = gr.Slider(
+                    1, 4, value=1, step=1,
+                    label="DeepCache interval (1 = exact, 2-3 = faster)")
         gallery = gr.Gallery(label="Panels")
         gr.Button("Generate", variant="primary").click(
             run,
             [prompt, negative, height, width, steps, guidance, num_samples,
              seed, char_files, ip_bbox, dialog_bbox, ip_scale, mllm_scale,
-             ip_canvas, dialog_canvas],
+             deep_cache, ip_canvas, dialog_canvas],
             gallery)
     return demo
