@@ -99,6 +99,57 @@ def llm_param_sharding_rules() -> Sequence[Rule]:
     )
 
 
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO-style parameter + optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+
+# Leaves smaller than this replicate: sharding norm scales and biases buys
+# no memory and costs an all-gather each. 64 KiB ≈ a [128, 128] fp32 kernel.
+FSDP_MIN_SIZE = 65536
+
+
+def fsdp_spec(shape: Tuple[int, ...], num_shards: int,
+              min_size: int = FSDP_MIN_SIZE) -> P:
+    """PartitionSpec sharding the largest ``num_shards``-divisible dim of
+    ``shape`` over the data axis; replicated when none divides or the leaf
+    is small.
+
+    This is the TPU-native ZeRO-3/FSDP: parameters, gradients, and (via
+    ``jnp.zeros_like`` sharding propagation in ``optax``'s init) optimizer
+    moments all live sharded over the ``data`` axis; XLA's SPMD partitioner
+    inserts the all-gathers (param use) and reduce-scatters (grad sync) the
+    reference delegates to DDP+NCCL — except the reference replicates
+    everything per GPU, which cannot hold SDXL full-tune AdamW state
+    (5.2 GB params + 5.2 grads + 10.4 moments in bf16) on a 16 GB chip.
+    """
+    size = 1
+    for d in shape:
+        size *= d
+    if size < min_size or not shape:
+        return P()
+    for dim in sorted(range(len(shape)), key=lambda d: -shape[d]):
+        if shape[dim] % num_shards == 0 and shape[dim] >= num_shards:
+            return P(*[DATA_AXIS if i == dim else None
+                       for i in range(len(shape))])
+    return P()
+
+
+def fsdp_param_specs(params: Any, mesh: Mesh,
+                     min_size: int = FSDP_MIN_SIZE) -> Any:
+    """Per-leaf FSDP PartitionSpecs for an arbitrary param/opt-state tree."""
+    n = mesh.shape[DATA_AXIS]
+    return jax.tree.map(
+        lambda x: fsdp_spec(getattr(x, "shape", ()), n, min_size), params)
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh,
+                      min_size: int = FSDP_MIN_SIZE) -> Any:
+    """Place a param pytree FSDP-sharded over the mesh's data axis."""
+    specs = fsdp_param_specs(params, mesh, min_size)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
 def _path_str(path) -> str:
     parts = []
     for k in path:

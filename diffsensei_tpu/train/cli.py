@@ -301,8 +301,29 @@ def main(argv=None):
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
 
-    params = shard_params(params, mesh, unet_param_sharding_rules())
+    # parallel: dp (default, reference DDP semantics: replicated params) or
+    # fsdp (ZeRO-3: params/grads/moments sharded over the data axis — the
+    # config SDXL full fine-tune needs, since replicated AdamW state cannot
+    # fit a 16 GB chip; see parallel/mesh.py::fsdp_spec).
+    parallel = trainer.get("parallel", "dp")
+    if parallel == "fsdp":
+        from diffsensei_tpu.parallel.mesh import (
+            FSDP_MIN_SIZE, shard_params_fsdp)
+        fsdp_min = int(trainer.get("fsdp_min_size", FSDP_MIN_SIZE))
+        params = shard_params_fsdp(params, mesh, fsdp_min)
+        frozen = shard_params_fsdp(frozen, mesh, fsdp_min)
+    elif parallel == "dp":
+        params = shard_params(params, mesh, unet_param_sharding_rules())
+    else:
+        raise ValueError(f"unknown trainer.parallel: {parallel!r} "
+                         "(expected 'dp' or 'fsdp')")
     state = TrainState.create(params, tx)
+    if parallel == "fsdp":
+        # AdamW moments mirror the param shapes — shard them the same way
+        # (ZeRO optimizer-state sharding; optax.init gives no guarantee of
+        # inheriting the input sharding).
+        state = state.replace(
+            opt_state=shard_params_fsdp(state.opt_state, mesh, fsdp_min))
 
     run_cfg = RunConfig(
         max_train_steps=int(trainer.get("max_train_steps", 1000)),

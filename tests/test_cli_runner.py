@@ -79,3 +79,17 @@ trainer:
     rec = json.loads((root / "logs_mllm" / "metrics.jsonl")
                      .read_text().strip().splitlines()[-1])
     assert np.isfinite(rec["loss_lm"]) and np.isfinite(rec["loss_rec"])
+
+    # FSDP variant of the condition stage (trainer.parallel: fsdp, ZeRO-3
+    # over the data axis; fsdp_min_size 0 so even the tiny preset's small
+    # leaves actually shard)
+    config_fsdp = config.replace(
+        f"log_dir: {root}/logs", f"log_dir: {root}/logs_fsdp").replace(
+        "  seed: 0", "  seed: 0\n  parallel: fsdp\n  fsdp_min_size: 0")
+    cfg4 = root / "config_fsdp.yaml"
+    cfg4.write_text(config_fsdp)
+    main(["--config", os.fspath(cfg4)])
+    rec = json.loads((root / "logs_fsdp" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert rec["step"] == 2
+    assert np.isfinite(rec["loss"])
