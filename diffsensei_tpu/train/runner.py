@@ -64,7 +64,13 @@ def run_training(step_fn: Callable, state: TrainState,
         try:
             abstract = jax.tree.map(np.zeros_like, jax.device_get(state))
             restored, r_rng, step = ckpt.restore(abstract, with_rng=True)
-            state = jax.tree.map(jax.numpy.asarray, restored)
+            # restore each leaf to the INCOMING state's sharding — a bare
+            # jnp.asarray would silently replicate FSDP-sharded params and
+            # moments on every device (memory blowup on resume)
+            state = jax.tree.map(
+                lambda r, s: (jax.device_put(r, s.sharding)
+                              if hasattr(s, "sharding") else jax.numpy.asarray(r)),
+                restored, state)
             if r_rng is not None:
                 rng = r_rng
             start_step = step

@@ -90,3 +90,46 @@ def test_checkpoint_steps_list(tmp_path):
     run_training(step_fn, state, batches, cfg, donate_state=False)
     dirs = sorted(d for d in os.listdir(log_dir) if d.startswith("step-"))
     assert dirs == ["step-2", "step-5", "step-7"]   # listed + final
+
+
+def test_resume_preserves_fsdp_sharding(tmp_path, eight_devices):
+    """Resume must restore each leaf to the incoming state's sharding — a
+    bare jnp.asarray would replicate FSDP-sharded params/moments on every
+    device (the memory blowup the sharding existed to avoid)."""
+    from diffsensei_tpu.parallel.mesh import (
+        MeshSpec, make_mesh, shard_params_fsdp)
+
+    mesh = make_mesh(MeshSpec(data=8, model=1), eight_devices)
+    log_dir = os.fspath(tmp_path / "fsdp")
+    params = {"w": jnp.ones((3, 8), jnp.float32)}
+
+    def _batches():          # shadows module gen: x matches w's (3, 8)
+        rng = np.random.default_rng(0)
+        while True:
+            yield {"x": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32),
+                   "y": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32)}
+
+    def make_state():
+        p = shard_params_fsdp(params, mesh, min_size=0)
+        s = TrainState.create(p, make_optimizer(1e-2))
+        return s.replace(opt_state=shard_params_fsdp(s.opt_state, mesh,
+                                                     min_size=0))
+
+    with mesh:
+        run_training(
+            _step_fn, make_state(), itertools.islice(_batches(), 4),
+            RunConfig(max_train_steps=2, log_dir=log_dir, log_every=1,
+                      checkpoint_every=2), donate_state=False)
+        resumed = run_training(
+            _step_fn, make_state(), itertools.islice(_batches(), 0),
+            RunConfig(max_train_steps=2, log_dir=log_dir, log_every=1,
+                      checkpoint_every=2, resume=True), donate_state=False)
+
+    assert int(resumed.step) == 2
+    w = resumed.params["w"]
+    assert not w.sharding.is_fully_replicated, "resume replicated the params"
+    assert w.addressable_shards[0].data.shape == (3, 1)
+    sharded_moments = sum(
+        1 for leaf in jax.tree.leaves(resumed.opt_state)
+        if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated)
+    assert sharded_moments > 0, "resume replicated the optimizer moments"
