@@ -1,8 +1,17 @@
 """Flagship benchmark: SDXL-1024² manga panel generation, 20 denoise steps.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": "panels_per_sec_per_chip", "value": N, "unit": "panels/s",
    "vs_baseline": N, ...extras}
+and the driver parses the LAST one. **Timeout-proof design (VERDICT r3
+weak #1):** the flagship line is emitted as soon as the main denoise leg +
+VAE + conditioning prep complete; every optional leg (batched, deepcache,
+13B MLLM, cold TTF) re-emits a SUPERSET of the same dict with its fields
+filled in. A global wall-clock deadline (env ``BENCH_DEADLINE_S``, default
+1200 s) skips optional legs instead of running into the driver's timeout,
+and contention-retry sleeps draw from one cumulative budget
+(``BENCH_RETRY_SLEEP_S``, default 180 s) instead of sleeping unboundedly.
+Round 3 lost its entire perf artifact to exactly that failure mode (rc=124).
 
 Measures the full conditioned pipeline hot path on the current default device
 (real TPU under the driver): the jitted CFG denoise loop of the SDXL manga UNet
@@ -28,6 +37,31 @@ STEPS = 20
 HEIGHT = WIDTH = int(_os.environ.get("BENCH_RES", "1024"))
 _REPO = _os.path.dirname(_os.path.abspath(__file__))
 SNAPSHOT_DIR = _os.path.join(_REPO, ".bench-cache", "unet-weights")
+
+# -- global deadline + retry-sleep budget (VERDICT r3 weak #1) ---------------
+_T0 = time.monotonic()
+_DEADLINE_S = float(_os.environ.get("BENCH_DEADLINE_S", "1200"))
+_SLEEP_LEFT = [float(_os.environ.get("BENCH_RETRY_SLEEP_S", "180"))]
+
+
+def _time_left() -> float:
+    return _DEADLINE_S - (time.monotonic() - _T0)
+
+
+def _pause(want_s: float, why: str) -> bool:
+    """Sleep for a contention/OOM retry, bounded by the CUMULATIVE budget and
+    the global deadline. Returns False (and does not sleep) when either is
+    exhausted — callers skip the retry instead of blowing the artifact."""
+    s = min(want_s, _SLEEP_LEFT[0], max(0.0, _time_left() - 60.0))
+    if s <= 0:
+        print(f"# {why} — retry budget/deadline exhausted, keeping current "
+              "measurement", flush=True)
+        return False
+    print(f"# {why} — waiting {s:.0f}s "
+          f"(budget left {_SLEEP_LEFT[0] - s:.0f}s)", flush=True)
+    _SLEEP_LEFT[0] -= s
+    time.sleep(s)
+    return True
 
 
 def _snapshot_params(unet, init_args):
@@ -74,7 +108,9 @@ def _wait_for_backend(max_tries: int = 12, sleep_s: float = 60.0) -> None:
     2026-08-17: `jax.devices()` hangs/raises UNAVAILABLE). Probe from a
     subprocess — sidestepping any in-process backend-error caching — and
     only proceed once a probe succeeds, so a transient outage delays the
-    bench instead of losing the round's artifact."""
+    bench instead of losing the round's artifact. Probe sleeps do NOT draw
+    from the contention budget (without a backend there is nothing to
+    measure), but they do consume the deadline, so optional legs shrink."""
     import subprocess
     import sys
 
@@ -94,6 +130,19 @@ def _wait_for_backend(max_tries: int = 12, sleep_s: float = 60.0) -> None:
         time.sleep(sleep_s)
     print("# backend still unavailable — proceeding (will fail loudly)",
           flush=True)
+
+
+def _free_device_trees(*trees) -> None:
+    """Explicitly free device buffers (before the 13-GB MLLM subprocess —
+    the tunnel chip is shared with the child process)."""
+    import jax
+
+    for tree in trees:
+        for leaf in jax.tree.leaves(tree):
+            try:
+                leaf.delete()
+            except Exception:  # noqa: BLE001 — already deleted / not an Array
+                pass
 
 
 def main() -> None:
@@ -192,9 +241,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
                 raise
-            print(f"# OOM on first call (shared-chip tenant?), retry "
-                  f"{attempt + 1} after 120 s", flush=True)
-            time.sleep(120)
+            if not _pause(120, "OOM on first call (shared-chip tenant?)"):
+                raise
     ttf_s = time.perf_counter() - t0
 
     # optional VAE decode (fp32); excluded from the denoise timing below,
@@ -232,6 +280,7 @@ def main() -> None:
             vae_s = min(vae_s, time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001 — VAE OOM must not kill the bench
         print(f"# vae decode skipped: {type(e).__name__}: {e}")
+        vae_params = None
         decode = None
         first_decode_s = 0.0
     ttf_warm_s = load_s + ttf_s + first_decode_s
@@ -254,7 +303,6 @@ def main() -> None:
         return times[len(times) // 2], lat
 
     denoise_s, lat = _time_denoise(lat)
-    panel_s = denoise_s + vae_s
 
     # device SELF-time of one denoise dispatch (xplane trace): the tunnel
     # chip is sometimes time-shared (docs/PERF.md), which inflates wall
@@ -287,29 +335,57 @@ def main() -> None:
     # contention retry: the tunnel chip is intermittently time-shared
     # (docs/PERF.md — the same program measures 2.22 s in free windows and
     # 2.97 s in shared ones while device self-time stays 2.185 s). When the
-    # wall/device ratio says a slow window, wait it out and re-measure; keep
-    # the best (lowest-median) attempt so the artifact records silicon
-    # capability, anchored by the device-time fields above.
+    # wall/device ratio says a slow window, wait it out (within the global
+    # sleep budget) and re-measure; keep the best (lowest-median) attempt so
+    # the artifact records silicon capability, anchored by the device-time
+    # fields above.
     contention_retries = 0
     if device_step_ms:
         while (denoise_s * 1000 / STEPS > 1.15 * device_step_ms
                and contention_retries < 3):
             contention_retries += 1
-            print(f"# contention: wall {denoise_s * 1000 / STEPS:.1f} vs "
-                  f"device {device_step_ms:.1f} ms/step — retry "
-                  f"{contention_retries} after 60 s", flush=True)
-            time.sleep(60)
+            if not _pause(60, f"contention: wall "
+                          f"{denoise_s * 1000 / STEPS:.1f} vs device "
+                          f"{device_step_ms:.1f} ms/step (retry "
+                          f"{contention_retries})"):
+                break
             retry_s, lat = _time_denoise(lat)
             denoise_s = min(denoise_s, retry_s)
-        panel_s = denoise_s + vae_s
+    panel_s = denoise_s + vae_s
     panels_per_sec = b / panel_s
     step_ms = denoise_s / STEPS * 1000
+
+    # chip-health calibration: achieved TFLOP/s on a bare 4k^3 bf16 matmul
+    # loop. The axon tunnel's effective chip speed varies run to run; this
+    # anchors every panels/s figure to the silicon speed behind it. Must
+    # amortize INSIDE one dispatch: an eagerly-chained per-call probe
+    # measures tunnel latency, not silicon.
+    tflops = None
+    try:
+        n = 4096
+        a_ = jnp.ones((n, n), jnp.bfloat16)
+
+        @jax.jit
+        def _mm_loop(x, a):
+            return jax.lax.fori_loop(
+                0, 50, lambda i, x: (x @ a) * 1e-3, x)
+
+        x = _mm_loop(a_, a_)
+        float(jnp.sum(x.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        x = _mm_loop(x, a_)
+        float(jnp.sum(x.astype(jnp.float32)))
+        dt = time.perf_counter() - t0
+        tflops = 50 * 2 * n ** 3 / dt / 1e12
+    except Exception as e:  # noqa: BLE001
+        print(f"# chip probe skipped: {type(e).__name__}: {e}")
 
     # full-generate honesty (VERDICT r1 weak #3): time the conditioning prep
     # the reference's result_generation also pays — dual text encode, CLIP-H +
     # Magi char encode, resampler, per-level bias build — with production-
     # geometry encoders (bf16, random weights = identical FLOPs).
     cond_s = 0.0
+    cond_trees = ()
     try:
         from diffsensei_tpu.core.config import (
             ResamplerConfig, TextEncoderConfig, VisionEncoderConfig)
@@ -339,6 +415,7 @@ def main() -> None:
                          jnp.zeros((1, manga.max_num_ips, icfg.seq_len, 1280),
                                    dtype),
                          jnp.zeros((1, manga.max_num_ips, 768), dtype))
+        cond_trees = (te1_p, te2_p, ie_p, me_p, res_p)
         bbox = jnp.asarray(
             [[[0.0, 0.0, 0.5, 1.0], [0.5, 0.0, 1.0, 1.0],
               [0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]]], jnp.float32)
@@ -376,14 +453,54 @@ def main() -> None:
     full_panel_s = denoise_s + vae_s + cond_s
     full_panels_per_sec = b / full_panel_s
 
+    # ---- FLAGSHIP EMIT: everything after this point only ENRICHES the dict
+    # (the driver parses the last JSON line; every emission is a superset) ----
+    result = {
+        "metric": "panels_per_sec_per_chip",
+        "value": round(full_panels_per_sec, 4),
+        "unit": f"panels/s full generate (SDXL {HEIGHT}^2, 20 steps, CFG, "
+                "masked-IP+dialog, text+char encode+resampler+bias included)",
+        "vs_baseline": (round(full_panels_per_sec / A100_REF_PANELS_PER_SEC, 3)
+                        if HEIGHT == 1024 else None),
+        "hot_loop_panels_per_sec": round(panels_per_sec, 4),
+        "cond_prep_s": round(cond_s, 4),
+        "p50_unet_step_ms": round(step_ms / 2, 2),  # per UNet fwd (CFG=2/step)
+        "p50_denoise_step_ms": round(step_ms, 2),
+        "denoise_step_device_ms": (round(device_step_ms, 2)
+                                   if device_step_ms else None),
+        "unet_step_device_ms": (round(device_step_ms / 2, 2)
+                                if device_step_ms else None),
+        "ttf_warm_s": round(ttf_warm_s, 2),
+        "ttf_cold_s": None,
+        "vae_decode_s": round(vae_s, 3),
+        "batched_bs2_panels_per_sec": None,
+        "batched_bs4_panels_per_sec": None,
+        "deepcache_panels_per_sec": None,
+        "deepcache_interval": None,
+        "mllm_panels_per_sec": None,
+        "mllm_decode_s": None,
+        "mllm_decode_tokens_per_sec": None,
+        "mllm_llm_geometry": None,
+        "mllm_13b_peak_hbm_gb": None,
+        "param_load_s": round(load_s, 2),
+        "snapshot_created_s": (round(created_s, 1) if created_s else None),
+        "chip_matmul_tflops": (round(tflops, 1) if tflops else None),
+        "contention_retries": contention_retries,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result), flush=True)
+
+    import os
+
     # batched serving throughput, bs in {2, 4} (1024²: measured 2026-08 at
     # ~parity with batch 1 — chip saturated at CFG batch 2; 512² measured
     # round 3, see docs/PERF.md). Default on (compiles are cached across
     # runs); BENCH_BATCHED=0 skips.
-    import os
-    batched_pps = {}
     if os.environ.get("BENCH_BATCHED", "1") != "0":
         for bn in (2, 4):
+            if _time_left() < 180:
+                print(f"# batched bs={bn} skipped: deadline", flush=True)
+                continue
             try:
                 denoise_n = build_denoise(bn)
                 lat_n = jax.random.normal(
@@ -410,13 +527,14 @@ def main() -> None:
                 for _ in range(2):
                     if not dev_s or batched_s <= 1.15 * dev_s:
                         break
-                    print(f"# contention on bs={bn}: wall {batched_s:.2f} vs "
-                          f"device {dev_s:.2f} s — retry after 60 s",
-                          flush=True)
-                    time.sleep(60)
+                    if not _pause(60, f"contention on bs={bn}: wall "
+                                  f"{batched_s:.2f} vs device {dev_s:.2f} s"):
+                        break
                     retry_s, lat_n = _time_batched(lat_n)
                     batched_s = min(batched_s, retry_s)
-                batched_pps[bn] = bn / (batched_s + bn * vae_s)
+                result[f"batched_bs{bn}_panels_per_sec"] = round(
+                    bn / (batched_s + bn * vae_s), 4)
+                print(json.dumps(result), flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"# batched bs={bn} skipped: {type(e).__name__}: {e}")
 
@@ -426,8 +544,7 @@ def main() -> None:
     # compiled fori_loop). Reported as a separate field — the headline
     # panels/s stays exact. BENCH_SKIP_DEEPCACHE=1 skips; BENCH_DEEP_CACHE
     # sets N (default 2).
-    deepcache_pps, deepcache_interval = None, None
-    if os.environ.get("BENCH_SKIP_DEEPCACHE") != "1":
+    if os.environ.get("BENCH_SKIP_DEEPCACHE") != "1" and _time_left() > 180:
         try:
             from diffsensei_tpu.pipelines.pipeline import (
                 _denoise as _product_denoise)
@@ -466,188 +583,80 @@ def main() -> None:
             for _ in range(2):
                 if not dc_dev_s or dc_s <= 1.15 * dc_dev_s:
                     break
-                print(f"# contention on deepcache: wall {dc_s:.2f} vs device "
-                      f"{dc_dev_s:.2f} s — retry after 60 s", flush=True)
-                time.sleep(60)
+                if not _pause(60, f"contention on deepcache: wall {dc_s:.2f} "
+                              f"vs device {dc_dev_s:.2f} s"):
+                    break
                 t0 = time.perf_counter()
                 lat_dc = dc_run(lat_dc * 0.5 + 0.5)
                 dc_s = min(dc_s, time.perf_counter() - t0)
-            deepcache_pps = b / (cond_s + dc_s + vae_s)
+            result["deepcache_panels_per_sec"] = round(
+                b / (cond_s + dc_s + vae_s), 4)
+            result["deepcache_interval"] = deepcache_interval
+            print(json.dumps(result), flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"# deepcache leg skipped: {type(e).__name__}: {e}")
+    elif os.environ.get("BENCH_SKIP_DEEPCACHE") != "1":
+        print("# deepcache leg skipped: deadline", flush=True)
 
-    # full-MLLM pipeline (BASELINE config #4, VERDICT r2 missing #4): char
-    # encode + compiled agent ladder decode + blend + diffusion. The released
-    # 13B-class LLM needs the TP mesh (dryrun/test-covered); the single-chip
-    # bench measures the 1.4B-class geometry of tools/bench_agent_decode.py.
-    mllm = None
+    # ---- past this point the diffusion stack is no longer needed: free its
+    # device buffers so the 13B MLLM subprocess (13 GB of int8 weights) and
+    # the cold-TTF subprocess have the shared chip's HBM to themselves.
+    _free_device_trees(params, vae_params, cond_trees, ctx, pooled, ip_tokens,
+                       biases)
+
+    # full-MLLM pipeline (BASELINE config #4) at the RELEASED 13B-class
+    # geometry (VERDICT r3 missing #1/#2): int8 weight-only SEED-X agent
+    # decode measured on the chip by tools/bench_mllm_13b.py (subprocess —
+    # the 13 GB weight tree cannot coexist with the resident diffusion
+    # stack). The measurement is cached in .bench-cache/mllm13b.json so a
+    # deadline-tight driver run reuses the number instead of re-measuring.
     if HEIGHT == 1024 and os.environ.get("BENCH_SKIP_MLLM") != "1":
-        try:
-            mllm = _bench_mllm_adaptation(manga)
-        except Exception as e:  # noqa: BLE001
-            print(f"# mllm leg skipped: {type(e).__name__}: {e}")
-    mllm_pps = None
-    if mllm is not None:
-        mllm_pps = b / (cond_s + mllm["decode_s"] + denoise_s + vae_s)
+        mllm = _mllm_13b_leg()
+        if mllm is not None:
+            decode_13b_s = mllm["mllm_13b_decode_s"]
+            result["mllm_panels_per_sec"] = round(
+                b / (cond_s + decode_13b_s + denoise_s + vae_s), 4)
+            result["mllm_decode_s"] = round(decode_13b_s, 3)
+            result["mllm_decode_tokens_per_sec"] = \
+                mllm["mllm_13b_int8_tokens_per_sec"]
+            result["mllm_llm_geometry"] = mllm["mllm_13b_geometry"]
+            result["mllm_13b_peak_hbm_gb"] = mllm.get("mllm_13b_peak_hbm_gb")
+            print(json.dumps(result), flush=True)
 
     # cold TTF: subprocess against an EMPTY compile cache (the number a
     # first-ever serve on a fresh machine pays); cached across bench runs.
-    ttf_cold_s = None
     if os.environ.get("BENCH_COLD_PROBE") != "1":
         ttf_cold_s = _measure_cold_ttf()
+        if ttf_cold_s:
+            result["ttf_cold_s"] = round(ttf_cold_s, 2)
+            print(json.dumps(result), flush=True)
 
-    # chip-health calibration: achieved TFLOP/s on a bare 8k^3 bf16 matmul.
-    # The axon tunnel's effective chip speed varies run to run (2026-08-17:
-    # the SAME flash kernel measured 1.9 then 2.7 ms hours apart); this
-    # anchors every panels/s figure to the silicon speed behind it.
-    # Must amortize INSIDE one dispatch: an eagerly-chained per-call probe
-    # measures tunnel latency, not silicon (8.7 "TFLOP/s" on a chip that
-    # sustains 108 in-loop).
-    tflops = None
+
+def _mllm_13b_leg():
+    """13B-class int8 agent decode (tools/bench_mllm_13b.py): reuse the
+    cached marker if present, else run the subprocess within the deadline."""
+    import subprocess
+    import sys
+
+    marker = _os.path.join(_REPO, ".bench-cache", "mllm13b.json")
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    if _time_left() < 600:
+        print("# mllm 13B leg skipped: deadline (no cached marker)",
+              flush=True)
+        return None
     try:
-        n = 4096
-        a_ = jnp.ones((n, n), jnp.bfloat16)
-
-        @jax.jit
-        def _mm_loop(x, a):
-            return jax.lax.fori_loop(
-                0, 50, lambda i, x: (x @ a) * 1e-3, x)
-
-        x = _mm_loop(a_, a_)
-        float(jnp.sum(x.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        x = _mm_loop(x, a_)
-        float(jnp.sum(x.astype(jnp.float32)))
-        dt = time.perf_counter() - t0
-        tflops = 50 * 2 * n ** 3 / dt / 1e12
-    except Exception as e:  # noqa: BLE001
-        print(f"# chip probe skipped: {type(e).__name__}: {e}")
-
-    print(json.dumps({
-        "metric": "panels_per_sec_per_chip",
-        "value": round(full_panels_per_sec, 4),
-        "unit": f"panels/s full generate (SDXL {HEIGHT}^2, 20 steps, CFG, "
-                "masked-IP+dialog, text+char encode+resampler+bias included)",
-        "vs_baseline": (round(full_panels_per_sec / A100_REF_PANELS_PER_SEC, 3)
-                        if HEIGHT == 1024 else None),
-        "hot_loop_panels_per_sec": round(panels_per_sec, 4),
-        "cond_prep_s": round(cond_s, 4),
-        "p50_unet_step_ms": round(step_ms / 2, 2),  # per UNet fwd (CFG=2/step)
-        "p50_denoise_step_ms": round(step_ms, 2),
-        "denoise_step_device_ms": (round(device_step_ms, 2)
-                                   if device_step_ms else None),
-        "unet_step_device_ms": (round(device_step_ms / 2, 2)
-                                if device_step_ms else None),
-        "ttf_warm_s": round(ttf_warm_s, 2),
-        "ttf_cold_s": (round(ttf_cold_s, 2) if ttf_cold_s else None),
-        "vae_decode_s": round(vae_s, 3),
-        "batched_bs2_panels_per_sec": (
-            round(batched_pps[2], 4) if 2 in batched_pps else None),
-        "batched_bs4_panels_per_sec": (
-            round(batched_pps[4], 4) if 4 in batched_pps else None),
-        "deepcache_panels_per_sec": (
-            round(deepcache_pps, 4) if deepcache_pps else None),
-        "deepcache_interval": (deepcache_interval if deepcache_pps else None),
-        "mllm_panels_per_sec": (round(mllm_pps, 4) if mllm_pps else None),
-        "mllm_decode_s": (round(mllm["decode_s"], 3) if mllm else None),
-        "mllm_decode_tokens_per_sec": (
-            round(mllm["tokens_per_sec"], 1) if mllm else None),
-        "mllm_decode_int8_tokens_per_sec": (
-            round(mllm["int8_tokens_per_sec"], 1)
-            if mllm and mllm.get("int8_tokens_per_sec") else None),
-        "mllm_llm_geometry": (mllm["geometry"] if mllm else None),
-        "param_load_s": round(load_s, 2),
-        "snapshot_created_s": (round(created_s, 1) if created_s else None),
-        "chip_matmul_tflops": (round(tflops, 1) if tflops else None),
-        "contention_retries": contention_retries,
-        "backend": jax.default_backend(),
-    }))
-
-
-def _bench_mllm_adaptation(manga):
-    """Measure the MLLM character-adaptation cost the reference demo pays
-    (``gradio.py:60-135``): a 96-token prompt carrying ONE 64-token cmp block
-    (all 4 characters, ``img_gen_feat.view(max_num_ips, num_vision_tokens, -1)``
-    at gradio.py:108), compiled greedy ladder decode (scan over a static KV
-    cache), output resampler + mllm_scale blend. max_new=128 covers the one
-    generated ``<img>…</img>`` block (66 tokens) + text margin; the
-    reference's 500 is an HF generate CAP, not a typical length — per-token
-    ms is reported so any cap cost is derivable."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from diffsensei_tpu.core.config import (
-        AgentConfig, LlamaConfig, LoRAConfig, QwenResamplerConfig)
-    from diffsensei_tpu.models.mllm.seed_x import ContinuousLVLM
-
-    hidden = int(_os.environ.get("AGENT_BENCH_HIDDEN", "2048"))
-    layers = int(_os.environ.get("AGENT_BENCH_LAYERS", "24"))
-    max_new = int(_os.environ.get("AGENT_BENCH_NEW_TOKENS", "128"))
-    llm = LlamaConfig(vocab_size=32330, hidden_size=hidden,
-                      intermediate_size=hidden * 11 // 4 // 128 * 128,
-                      num_layers=layers, num_heads=hidden // 128,
-                      num_kv_heads=hidden // 128,
-                      max_position_embeddings=1024)
-    acfg = AgentConfig(
-        llm=llm, lora=LoRAConfig(rank=0),
-        input_resampler=QwenResamplerConfig(
-            grid_size=8, embed_dim=hidden, num_heads=hidden // 128,
-            kv_dim=2048),
-        output_resampler=QwenResamplerConfig(
-            grid_size=8, embed_dim=2048, num_heads=16, kv_dim=hidden))
-    nq = acfg.input_resampler.num_queries                       # 64
-    ladder = np.arange(llm.vocab_size - nq - 2, llm.vocab_size,
-                       dtype=np.int64)
-    rng = np.random.default_rng(0)
-    # prompt = caption + cmp block + newline + <img> (gradio.py:36-57 shape)
-    prompt_len = 96
-    prompt = rng.integers(10, 1000, (1, prompt_len)).astype(np.int32)
-    prompt[0, -1] = int(ladder[0])
-    ids_cmp = np.zeros((1, prompt_len), bool)
-    ids_cmp[0, 24:24 + nq] = True
-    image_embeds = jnp.asarray(
-        rng.normal(size=(1, nq, acfg.input_resampler.kv_dim)), jnp.bfloat16)
-
-    def measure(agent):
-        def run():
-            out = agent.generate(prompt, image_embeds=image_embeds,
-                                 ids_cmp_mask=jnp.asarray(ids_cmp),
-                                 ladder_ids=ladder, max_new_tokens=max_new)
-            feat = out["img_gen_feat"]
-            assert out["num_gen_imgs"] >= 1, "ladder did not fire"
-            # blend by mllm_scale (gradio.py:108-109)
-            blended = feat[:1] * 0.4 + image_embeds.astype(feat.dtype) * 0.6
-            return float(jnp.sum(blended))
-
-        run()                              # compile + barrier
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run()
-            times.append(time.perf_counter() - t0)
-        return min(times)    # min-of-3: tunnel-contention robustness
-
-    agent = ContinuousLVLM.build(acfg, jax.random.key(0), dtype=jnp.bfloat16)
-    decode_s = measure(agent)
-    del agent
-    # int8 weight-only serving variant (same decode, halved weight bytes)
-    int8_s = None
-    try:
-        qagent = ContinuousLVLM.build(acfg, jax.random.key(0),
-                                      dtype=jnp.bfloat16, quantized=True)
-        int8_s = measure(qagent)
-        del qagent
-    except Exception as e:  # noqa: BLE001 — int8 leg is supplementary
-        print(f"# mllm int8 sub-leg skipped: {type(e).__name__}: {e}")
-    n_params = (llm.vocab_size * hidden * 2
-                + layers * (4 * hidden * hidden
-                            + 3 * hidden * llm.intermediate_size))
-    return {"decode_s": decode_s,
-            "tokens_per_sec": max_new / decode_s,
-            "int8_tokens_per_sec": (max_new / int8_s if int8_s else None),
-            "geometry": f"hidden={hidden} layers={layers} bf16 "
-                        f"(~{n_params / 1e9:.2f}B)"}
+        out = subprocess.run(
+            [sys.executable, _os.path.join(_REPO, "tools",
+                                           "bench_mllm_13b.py")],
+            capture_output=True, text=True,
+            timeout=max(60, min(2100, _time_left() - 60)))
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 — supplementary leg
+        print(f"# mllm 13B leg skipped: {type(e).__name__}: {e}", flush=True)
+        return None
 
 
 def _measure_cold_ttf():
@@ -664,13 +673,19 @@ def _measure_cold_ttf():
     if _os.path.exists(marker):
         with open(marker) as f:
             return json.load(f)["ttf_cold_s"]
+    if _time_left() < 600:
+        print("# cold ttf probe skipped: deadline (no cached marker)",
+              flush=True)
+        return None
     env = dict(_os.environ, BENCH_COLD_PROBE="1", BENCH_SKIP_MLLM="1",
-               BENCH_BATCHED="0", BENCH_RES=str(HEIGHT),
+               BENCH_BATCHED="0", BENCH_SKIP_DEEPCACHE="1",
+               BENCH_RES=str(HEIGHT), BENCH_DEADLINE_S="1700",
                DIFFSENSEI_COMPILE_CACHE=tempfile.mkdtemp(prefix="coldcache"))
     try:
         out = subprocess.run(
             [sys.executable, _os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=1800)
+            capture_output=True, text=True,
+            timeout=max(60, min(1800, _time_left() - 30)))
         line = [l for l in out.stdout.splitlines()
                 if l.startswith("{")][-1]
         probe = json.loads(line)

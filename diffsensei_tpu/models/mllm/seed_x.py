@@ -80,7 +80,8 @@ class ContinuousLVLM:
     def build(cls, config: AgentConfig, rng: jax.Array,
               dtype=jnp.float32, lora_rank: Optional[int] = None,
               remat: bool = False, quantized: bool = False,
-              abstract: bool = False) -> "ContinuousLVLM":
+              abstract: bool = False,
+              jit_init: bool = False) -> "ContinuousLVLM":
         """``quantized=True`` builds the int8 weight-only serving LLM
         (random int8 init — real weights come via
         ``models.mllm.quant.quantize_agent`` / ``quantize_llm_params``).
@@ -90,6 +91,12 @@ class ContinuousLVLM:
         The 13B-class LLM cannot be random-initialized on a 16 GB chip (or
         cheaply on host); serving builds abstract, ports host-side, then
         quantizes/ships (``serve/cli.py --quantize-llm``).
+
+        ``jit_init=True`` compiles the three flax inits into ONE program —
+        eager init dispatches ~1000 per-op round trips through the axon
+        tunnel at SEED-X scale, while the jitted program dead-code-eliminates
+        the tracing forward and runs just the initializers. Use for at-scale
+        random init (benchmarks); tiny test models skip the compile.
         """
         lora = config.lora.rank if lora_rank is None else lora_rank
         if quantized:
@@ -115,6 +122,8 @@ class ContinuousLVLM:
 
         if abstract:
             llm_params, in_params, out_params = jax.eval_shape(init3)
+        elif jit_init:
+            llm_params, in_params, out_params = jax.jit(init3)()
         else:
             llm_params, in_params, out_params = init3()
         return cls(config, llm, llm_params, in_res, in_params,
