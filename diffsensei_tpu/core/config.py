@@ -331,6 +331,11 @@ class PipelineConfig:
     ip_scale: float = 0.6
     mllm_scale: float = 0.4
     scheduler: str = "euler_discrete"  # "ddim" | "euler_discrete" | "dpmsolver++"
+    # context-parallel serving: shard >=context_parallel_min_seq-token spatial
+    # self-attention over the mesh data axis via ring-flash attention
+    # (requires DiffSenseiPipeline(mesh=...); intended for 2048²-class panels)
+    context_parallel: bool = False
+    context_parallel_min_seq: int = 16384
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,13 @@ class SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
+    # context parallelism (serving, opt-in): shard the spatial sequence over
+    # ``cp_axis`` of ``cp_mesh`` and run ring-flash attention when the
+    # sequence is at least ``cp_min_seq`` tokens (SURVEY §5 long-context:
+    # 2048²-class panels). None = single-device attention (default).
+    cp_mesh: Any = None
+    cp_axis: str = "data"
+    cp_min_seq: int = 16384
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +86,10 @@ class SelfAttention(nn.Module):
         q = _split_heads(dense("to_q")(x), self.heads)
         k = _split_heads(dense("to_k")(x), self.heads)
         v = _split_heads(dense("to_v")(x), self.heads)
-        o = _merge_heads(multi_head_attention(q, k, v))
+        cp = self.cp_mesh is not None and x.shape[1] >= self.cp_min_seq
+        o = _merge_heads(multi_head_attention(
+            q, k, v, cp_mesh=self.cp_mesh if cp else None,
+            cp_axis=self.cp_axis))
         return LoRADense(dim, lora_rank=self.lora_rank, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="to_out")(o)
 
@@ -141,6 +151,9 @@ class BasicTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
+    cp_mesh: Any = None
+    cp_axis: str = "data"
+    cp_min_seq: int = 16384
 
     @nn.compact
     def __call__(self, x, ctx_text, ctx_ip, ip_bias, ip_scale):
@@ -148,6 +161,8 @@ class BasicTransformerBlock(nn.Module):
                                        param_dtype=self.param_dtype, name=name)
         x = x + SelfAttention(self.heads, self.dtype, self.param_dtype,
                               lora_rank=self.lora_rank,
+                              cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
+                              cp_min_seq=self.cp_min_seq,
                               name="attn1")(ln("norm1")(x))
         x = x + MangaCrossAttention(self.heads, self.dtype, self.param_dtype,
                                     lora_rank=self.lora_rank,
@@ -175,6 +190,9 @@ class Transformer2D(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
+    cp_mesh: Any = None
+    cp_axis: str = "data"
+    cp_min_seq: int = 16384
 
     @nn.compact
     def __call__(self, x, ctx_text, ctx_ip, ip_bias, ip_scale):
@@ -189,6 +207,9 @@ class Transformer2D(nn.Module):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.heads, self.dtype, self.param_dtype,
                                       lora_rank=self.lora_rank,
+                                      cp_mesh=self.cp_mesh,
+                                      cp_axis=self.cp_axis,
+                                      cp_min_seq=self.cp_min_seq,
                                       name=f"blocks_{i}")(
                 x, ctx_text, ctx_ip, ip_bias, ip_scale)
         x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -237,6 +258,14 @@ class UNetMangaModel(nn.Module):
     #                   131.9→115.2 ms; 1024² partitioned stage-2 379→349 ms);
     #                   1024² FULL fine-tune still needs full recompute
     remat_policy: Optional[str] = None
+    # context-parallel serving (opt-in, SURVEY §5 long-context): when set,
+    # spatial self-attentions with >= cp_min_seq tokens run as ring-flash
+    # attention with the sequence sharded over cp_axis of cp_mesh
+    # (ops/ring_attention.py). Reached from DiffSenseiPipeline via
+    # PipelineConfig.context_parallel; forward/serving only.
+    cp_mesh: Any = None
+    cp_axis: str = "data"
+    cp_min_seq: int = 16384
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
@@ -266,7 +295,8 @@ class UNetMangaModel(nn.Module):
         N > 1 (the reference has no counterpart)."""
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        tkw = dict(kw, lora_rank=cfg.lora_rank)
+        tkw = dict(kw, lora_rank=cfg.lora_rank, cp_mesh=self.cp_mesh,
+                   cp_axis=self.cp_axis, cp_min_seq=self.cp_min_seq)
         ResBlock = nn.remat(ResnetBlock2D) if self.remat_blocks \
             else ResnetBlock2D
         n_deepest = len(cfg.block_out_channels) - 1

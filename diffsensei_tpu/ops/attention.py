@@ -50,9 +50,26 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          bias: Optional[jnp.ndarray] = None,
                          causal: bool = False,
                          sm_scale: Optional[float] = None,
-                         force_flash: Optional[bool] = None) -> jnp.ndarray:
-    """Attention over [batch, heads, seq, head_dim]; picks kernel by shape."""
+                         force_flash: Optional[bool] = None,
+                         cp_mesh=None, cp_axis: str = "data") -> jnp.ndarray:
+    """Attention over [batch, heads, seq, head_dim]; picks kernel by shape.
+
+    ``cp_mesh`` (a ``jax.sharding.Mesh``) opts into **context parallelism**:
+    plain self-attention (no bias, non-causal, q_len == kv_len divisible by
+    the axis size) is computed by the ring-flash algorithm with the sequence
+    sharded over ``cp_axis`` (``ops/ring_attention.py``) — K/V chunks rotate
+    over ICI via ``ppermute`` while each chip attends its local Q shard. The
+    serving path for 2048²-class panels whose level-1 spatial attention does
+    not fit (or saturate) one chip; see ``UNetMangaModel.cp_mesh``.
+    """
     kv_len = k.shape[2]
+    if (cp_mesh is not None and bias is None and not causal
+            and q.shape[2] == kv_len
+            and kv_len % cp_mesh.shape[cp_axis] == 0):
+        from diffsensei_tpu.ops.ring_attention import ring_attention_sharded
+
+        return ring_attention_sharded(q, k, v, cp_mesh, axis_name=cp_axis,
+                                      sm_scale=sm_scale)
     use_flash = force_flash
     if use_flash is None:
         use_flash = _on_tpu() and kv_len >= _FLASH_MIN_KV and q.shape[-1] % 8 == 0

@@ -352,10 +352,22 @@ class DiffSenseiPipeline:
         """``mesh``: optional ``jax.sharding.Mesh`` — batched serving shards
         the CFG batch (2 * num_samples) over the ``data`` axis, the
         multi-chip bucketed-batch inference mode (BASELINE.md config #5).
-        The reference has no multi-device inference (SURVEY.md §3.1)."""
+        The reference has no multi-device inference (SURVEY.md §3.1).
+
+        ``config.context_parallel`` (with a mesh) instead shards the SPATIAL
+        sequence of the big self-attentions over the data axis via ring-flash
+        attention (``ops/ring_attention.py``) — the single-panel 2048²-class
+        serving mode (SURVEY §5 long-context). Batch sharding is skipped in
+        this mode (the same axis carries the sequence)."""
         self.m = modules
         self.config = config
         self.mesh = mesh
+        if config.context_parallel and mesh is not None:
+            self.m = dataclasses.replace(
+                modules,
+                unet=modules.unet.clone(
+                    cp_mesh=mesh,
+                    cp_min_seq=config.context_parallel_min_seq))
         self.vae_scaling = self.m.vae.config.scaling_factor
         self.latent_scale = self.m.vae.config.downscale_factor
 
@@ -638,7 +650,7 @@ class DiffSenseiPipeline:
         ctx = jnp.repeat(ctx, num_samples, axis=0)
         pooled = jnp.repeat(pooled, num_samples, axis=0)
 
-        if self.mesh is not None:
+        if self.mesh is not None and not self.config.context_parallel:
             # batched multi-chip serving: CFG batch over the data axis
             data = self.mesh.shape["data"]
             if (2 * num_samples) % data == 0:
