@@ -30,33 +30,67 @@ def make_lr_schedule(
     num_training_steps: Optional[int] = None,
     min_lr_ratio: float = 0.0,
     num_cycles: float = 0.5,
+    power: float = 1.0,
+    lr_end: float = 1e-7,
 ) -> optax.Schedule:
+    """Every name the reference registry enumerates
+    (``scripts/train/scheduler.py:71-80``) except ``reduce_on_plateau``,
+    which is not a pure step→lr schedule (it consumes a validation metric;
+    documented exclusion, PARITY.md §2.4). All released configs use
+    ``constant``."""
     def warmup(step):
-        return jnp.minimum(1.0, step / jnp.maximum(num_warmup_steps, 1))
+        if num_warmup_steps <= 0:
+            return 1.0         # no warmup: full LR from step 0 (HF convention)
+        return jnp.minimum(1.0, step / num_warmup_steps)
+
+    def progress(step):
+        return jnp.clip(
+            (step - num_warmup_steps)
+            / jnp.maximum(num_training_steps - num_warmup_steps, 1),
+            0.0, 1.0)
 
     if name == "constant":
         return lambda step: jnp.asarray(base_lr)
     if name == "constant_with_warmup":
         return lambda step: base_lr * warmup(step)
     if name == "linear":
-        def sched(step):
-            progress = jnp.clip(
-                (step - num_warmup_steps)
-                / jnp.maximum(num_training_steps - num_warmup_steps, 1),
-                0.0, 1.0)
-            return base_lr * warmup(step) * (1.0 - progress)
-        return sched
+        return lambda step: base_lr * warmup(step) * (1.0 - progress(step))
     if name in ("cosine", "cosine_with_min_lr"):
         # reference custom scheduler: cosine decaying to min_lr_ratio * base
         # (scheduler.py:18-68); plain "cosine" is min_lr_ratio = 0.
         floor = min_lr_ratio if name == "cosine_with_min_lr" else 0.0
         def sched(step):
-            progress = jnp.clip(
-                (step - num_warmup_steps)
-                / jnp.maximum(num_training_steps - num_warmup_steps, 1),
-                0.0, 1.0)
-            cos = 0.5 * (1.0 + jnp.cos(math.pi * 2.0 * num_cycles * progress))
+            cos = 0.5 * (1.0 + jnp.cos(
+                math.pi * 2.0 * num_cycles * progress(step)))
             return base_lr * warmup(step) * (floor + (1.0 - floor) * cos)
+        return sched
+    if name == "cosine_with_restarts":
+        # HF semantics: num_cycles full cosine restarts over training
+        # (transformers.optimization.get_cosine_with_hard_restarts_…)
+        def sched(step):
+            p = progress(step)
+            phase = jnp.mod(jnp.maximum(num_cycles, 1) * p, 1.0)
+            cos = jnp.where(p >= 1.0, 0.0,
+                            0.5 * (1.0 + jnp.cos(math.pi * phase)))
+            return base_lr * warmup(step) * cos
+        return sched
+    if name == "polynomial":
+        # HF semantics: decay from base_lr to lr_end with ``power``
+        def sched(step):
+            decay = (lr_end + (base_lr - lr_end)
+                     * (1.0 - progress(step)) ** power)
+            return warmup(step) * jnp.where(step < num_warmup_steps,
+                                            base_lr, decay)
+        return sched
+    if name == "inverse_sqrt":
+        # HF semantics: lr ∝ 1/sqrt(step) with timescale = warmup steps
+        timescale = num_warmup_steps or 10_000
+        shift = timescale - num_warmup_steps
+        def sched(step):
+            decay = jax.lax.rsqrt(
+                jnp.maximum((step + shift) / timescale, 1e-9))
+            return base_lr * warmup(step) * jnp.where(
+                step < num_warmup_steps, 1.0, decay)
         return sched
     raise ValueError(f"unknown lr schedule: {name}")
 

@@ -83,6 +83,30 @@ def test_lr_schedules():
     assert abs(float(lin(50)) - 1.0) < 1e-6
 
 
+def test_lr_schedules_registry_tail():
+    # polynomial: base → lr_end over training, linear warmup first
+    p = make_lr_schedule("polynomial", 1.0, num_warmup_steps=10,
+                         num_training_steps=110, power=2.0, lr_end=0.01)
+    assert float(p(0)) == 0.0
+    assert abs(float(p(10)) - 1.0) < 1e-6          # end of warmup
+    assert abs(float(p(60)) - (0.01 + 0.99 * 0.25)) < 1e-5   # progress 0.5
+    assert abs(float(p(110)) - 0.01) < 1e-6        # floor at lr_end
+    # inverse_sqrt: 1.0 at end of warmup, then ∝ 1/sqrt(step/timescale)
+    inv = make_lr_schedule("inverse_sqrt", 1.0, num_warmup_steps=100)
+    assert abs(float(inv(100)) - 1.0) < 1e-5
+    assert abs(float(inv(400)) - 0.5) < 1e-5       # 4x steps → half lr
+    # cosine_with_restarts: hits ~0 at each restart boundary, back to base
+    r = make_lr_schedule("cosine_with_restarts", 1.0, num_warmup_steps=0,
+                         num_training_steps=100, num_cycles=2)
+    assert abs(float(r(0)) - 1.0) < 1e-6
+    assert float(r(49)) < 0.01                     # end of first cycle
+    assert abs(float(r(50)) - 1.0) < 1e-3          # restart
+    assert float(r(100)) == 0.0
+    import pytest
+    with pytest.raises(ValueError):
+        make_lr_schedule("reduce_on_plateau", 1.0)
+
+
 def test_unet_trainable_mask_modes(tiny_stack):
     modules, _, _ = tiny_stack
     params = modules.unet_params
