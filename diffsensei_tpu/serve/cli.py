@@ -96,6 +96,11 @@ def main(argv=None):
                         choices=["euler_discrete", "ddim", "dpmsolver++"],
                         help="sampler (default: config euler_discrete; "
                              "dpmsolver++ = 2nd-order multistep)")
+    parser.add_argument("--context-parallel", action="store_true",
+                        help="shard big (>=16k-token) spatial self-attention "
+                             "over all visible devices via ring-flash "
+                             "attention — the multi-chip 2048^2-class "
+                             "serving mode")
     parser.add_argument("--warmup", default=None,
                         help="comma-separated HxW sizes to precompile before "
                              "serving, e.g. '1024x1024,768x1024'")
@@ -174,12 +179,20 @@ def main(argv=None):
                 args.agent_weights)
         if args.mllm_tokenizer:
             mllm_spec = mllm_spec_from_tokenizer(args.mllm_tokenizer)
+    import dataclasses
+
     pcfg = PipelineConfig()
     if args.scheduler:
-        import dataclasses
         pcfg = dataclasses.replace(pcfg, scheduler=args.scheduler)
-    server = DiffSenseiServer(DiffSenseiPipeline(modules, pcfg), agent=agent,
-                              mllm_spec=mllm_spec)
+    mesh = None
+    if args.context_parallel:
+        from diffsensei_tpu.parallel.mesh import MeshSpec, make_mesh
+        devs = jax.devices()
+        mesh = make_mesh(MeshSpec(data=len(devs), model=1), devs)
+        pcfg = dataclasses.replace(pcfg, context_parallel=True)
+        print(f"# context parallelism over {len(devs)} device(s)")
+    server = DiffSenseiServer(DiffSenseiPipeline(modules, pcfg, mesh=mesh),
+                              agent=agent, mllm_spec=mllm_spec)
 
     if args.warmup:
         sizes = [tuple(int(v) for v in hw.split("x"))

@@ -85,3 +85,16 @@ def test_serve_cli_generates_png(tmp_path):
           "--ip-bbox", "0,0,0.5,1", "--out", os.fspath(out)])
     img = Image.open(out)
     assert img.size[0] % 8 == 0 and img.size[1] % 8 == 0
+
+
+def test_serve_cli_context_parallel_flag(tmp_path):
+    """--context-parallel builds the mesh and routes through the CP pipeline
+    (the ring path itself is parity-tested in test_ring_attention.py; at tiny
+    panel sizes no attention reaches cp_min_seq, so this is the wiring/flag
+    smoke path)."""
+    from diffsensei_tpu.serve.cli import main
+    out = tmp_path / "panel_cp.png"
+    main(["--preset", "tiny", "--prompt", "a hero", "--height", "64",
+          "--width", "64", "--steps", "1", "--context-parallel",
+          "--out", os.fspath(out)])
+    assert Image.open(out).size == (64, 64)
