@@ -21,7 +21,7 @@ for the SEED-X 13B-class LLM) rebuilt for XLA/Pallas:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -246,6 +246,12 @@ class LlamaForCausalLM(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
     remat: bool = False
+    # Selective checkpointing for ``remat=True`` (training): "attn" saves the
+    # tagged flash outputs (attn_out/attn_lse, ops/flash_attention.py) so the
+    # backward reads the saved pair instead of replaying the causal flash
+    # forward of every layer — same policy family as
+    # ``UNetMangaModel.remat_policy``. None = full recompute.
+    remat_policy: Optional[str] = None
     quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -257,7 +263,12 @@ class LlamaForCausalLM(nn.Module):
                                      name="embed_tokens", **kw)
         layer_cls = LlamaLayer
         if self.remat:
-            layer_cls = nn.remat(LlamaLayer, static_argnums=())
+            policy = None
+            if self.remat_policy == "attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_lse")
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(),
+                                 policy=policy)
         self.layers = [layer_cls(cfg, self.lora_rank,
                                  quantized=self.quantized,
                                  name=f"layers_{i}", **kw)

@@ -79,7 +79,8 @@ class ContinuousLVLM:
     @classmethod
     def build(cls, config: AgentConfig, rng: jax.Array,
               dtype=jnp.float32, lora_rank: Optional[int] = None,
-              remat: bool = False, quantized: bool = False,
+              remat: bool = False, remat_policy: Optional[str] = None,
+              quantized: bool = False,
               abstract: bool = False,
               jit_init: bool = False) -> "ContinuousLVLM":
         """``quantized=True`` builds the int8 weight-only serving LLM
@@ -102,7 +103,7 @@ class ContinuousLVLM:
         if quantized:
             lora = 0
         llm = LlamaForCausalLM(config.llm, lora_rank=lora, remat=remat,
-                               quantized=quantized,
+                               remat_policy=remat_policy, quantized=quantized,
                                dtype=dtype, param_dtype=dtype)
         in_res = QwenResampler(config.input_resampler, dtype=dtype,
                                param_dtype=dtype)

@@ -257,6 +257,13 @@ class UNetMangaModel(nn.Module):
     #                   measured best wherever it fits (512² full-tune
     #                   131.9→115.2 ms; 1024² partitioned stage-2 379→349 ms);
     #                   1024² FULL fine-tune still needs full recompute
+    #   "attn"          save only the tagged attention outputs (attn_out +
+    #                   flash lse, ops/flash_attention.py) — prunes the
+    #                   replayed Pallas flash forwards from the backward at
+    #                   ~2 MB/attention, a fraction of "dots"' footprint; the
+    #                   option for 1024² FULL fine-tune where "dots" OOMs
+    #   "dots_attn"     both policies combined — strictly less replay than
+    #                   "dots" wherever "dots" fits
     remat_policy: Optional[str] = None
     # context-parallel serving (opt-in, SURVEY §5 long-context): when set,
     # spatial self-attentions with >= cp_min_seq tokens run as ring-flash
@@ -304,13 +311,20 @@ class UNetMangaModel(nn.Module):
         def tfm_block(level):
             if not self.remat_blocks:
                 return Transformer2D
+            import jax
+            dots = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            attn = jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_lse")
             if self.remat_policy == "dots" or (
                     self.remat_policy == "dots_deepest" and level == n_deepest):
-                import jax
+                return nn.remat(Transformer2D, policy=dots)
+            if self.remat_policy == "attn":
+                return nn.remat(Transformer2D, policy=attn)
+            if self.remat_policy == "dots_attn":
                 return nn.remat(
                     Transformer2D,
-                    policy=jax.checkpoint_policies
-                    .dots_with_no_batch_dims_saveable)
+                    policy=jax.checkpoint_policies.save_from_both_policies(
+                        dots, attn))
             return nn.remat(Transformer2D)
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))

@@ -13,6 +13,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from diffsensei_tpu.ops.flash_attention import flash_attention
 
@@ -75,4 +76,9 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         use_flash = _on_tpu() and kv_len >= _FLASH_MIN_KV and q.shape[-1] % 8 == 0
     if use_flash:
         return flash_attention(q, k, v, bias, causal=causal, sm_scale=sm_scale)
-    return attention_ref(q, k, v, bias, causal=causal, sm_scale=sm_scale)
+    # Tag the XLA path too ("attn"/"dots_attn" remat policies,
+    # models/unet.py): saving the post-softmax output lets the remat replay
+    # DCE the whole score/softmax chain of the short-kv cross-attentions.
+    return checkpoint_name(
+        attention_ref(q, k, v, bias, causal=causal, sm_scale=sm_scale),
+        "attn_out")

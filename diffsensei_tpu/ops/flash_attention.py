@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -434,27 +435,48 @@ def _backward(res, g, causal, sm_scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, bias, causal, sm_scale, block_q, block_k):
-    o, _ = _forward(q, k, v, bias, causal, sm_scale, block_q, block_k)
-    return o
-
-
-def _flash_fwd(q, k, v, bias, causal, sm_scale, block_q, block_k):
-    o, lse = _forward(q, k, v, bias, causal, sm_scale, block_q, block_k)
-    return o, (q, k, v, bias, o, lse)
-
-
-def _flash_bwd(causal, sm_scale, block_q, block_k, res, g):
-    dq, dk, dv, dbias = _backward(res, g, causal, sm_scale, block_q, block_k)
-    return dq, dk, dv, dbias
-
-
-_flash.defvjp(_flash_fwd, _flash_bwd)
+# The forward kernel and the gradient attachment are SEPARATE equations so
+# selective rematerialization can prune the forward replay. A monolithic
+# custom_vjp (fwd kernel inside the vjp-fwd rule) forces jax.checkpoint to
+# re-run the Pallas forward during the backward pass to rebuild residuals —
+# the "70 replayed flash forwards" shelf in the round-3 train profile
+# (docs/PERF.md). Here the Pallas forward (`_flash_pair`) is a plain traced
+# call whose outputs (o, lse) are tagged with ``checkpoint_name`` by
+# ``flash_attention``; ``_attach_grad`` is an IDENTITY on ``o`` whose
+# custom-vjp residuals are (q, k, v, bias, o, lse). Under
+# ``UNetMangaModel.remat_policy in ("attn", "dots_attn")`` the policy saves
+# the tagged pair, the `_flash_pair` equation produces only saved values and
+# is dead-code-eliminated from the remat replay, and the replayed identity is
+# free — the backward Pallas kernels read the SAVED o/lse. With no remat (or
+# no names policy) the structure is cost-identical to the monolithic form:
+# one forward kernel call, same residuals, same backward.
 
 
 @functools.partial(
     jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k"))
+def _flash_pair(q, k, v, bias, causal, sm_scale, block_q, block_k):
+    return _forward(q, k, v, bias, causal, sm_scale, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _attach_grad(q, k, v, bias, o, lse, causal, sm_scale, block_q, block_k):
+    return o
+
+
+def _attach_fwd(q, k, v, bias, o, lse, causal, sm_scale, block_q, block_k):
+    return o, (q, k, v, bias, o, lse)
+
+
+def _attach_bwd(causal, sm_scale, block_q, block_k, res, g):
+    dq, dk, dv, dbias = _backward(res, g, causal, sm_scale, block_q, block_k)
+    # o/lse enter through stop_gradient at the call site; their cotangents
+    # are discarded (XLA DCEs the zeros).
+    return dq, dk, dv, dbias, jnp.zeros_like(res[4]), jnp.zeros_like(res[5])
+
+
+_attach_grad.defvjp(_attach_fwd, _attach_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -477,7 +499,22 @@ def flash_attention(
     23.9ms @16k tokens for the CFG-batched head counts — 2.1x over the naive
     512x512 blocking at 16k); XLA attention OOMs beyond ~16k tokens, flash is
     mandatory there. (1024, 4096) exceeds VMEM in the backward.
+
+    Outputs are tagged ``attn_out`` / ``attn_lse`` for selective remat
+    (``jax.checkpoint_policies.save_only_these_names``): saving the pair lets
+    the backward skip replaying the forward kernel entirely (see the module
+    comment above ``_flash_pair``).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, bias, causal, sm_scale, block_q, block_k)
+    # stop_gradient on the kernel inputs: the forward pallas_call must never
+    # be differentiated (no JVP rule) — all gradients flow through
+    # _attach_grad's custom VJP below.
+    o, lse = _flash_pair(jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
+                         jax.lax.stop_gradient(v),
+                         jax.lax.stop_gradient(bias),
+                         causal, sm_scale, block_q, block_k)
+    o = checkpoint_name(o, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return _attach_grad(q, k, v, bias, o, lse,
+                        causal, sm_scale, block_q, block_k)

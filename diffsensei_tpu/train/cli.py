@@ -246,7 +246,8 @@ def main(argv=None):
         agent = ContinuousLVLM.build(
             acfg, jax.random.fold_in(rng, 3),
             lora_rank=agent_cfg.get("lora_rank", acfg.lora.rank),
-            remat=bool(agent_cfg.get("remat", True)))
+            remat=bool(agent_cfg.get("remat", True)),
+            remat_policy=agent_cfg.get("remat_policy"))
 
         # MLLM token spec: top-of-vocab ladder ids (a ported tokenizer
         # supplies real ids via train_data.mllm_ladder_ids)

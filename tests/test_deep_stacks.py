@@ -105,7 +105,7 @@ def test_remat_policy_grads_match_full_remat():
         return jax.grad(loss)(params)
 
     ref = grads_of(base)
-    for policy in ("dots_deepest", "dots"):
+    for policy in ("dots_deepest", "dots", "attn", "dots_attn"):
         got = grads_of(UNetMangaModel(cfg, remat_blocks=True,
                                       remat_policy=policy))
         for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):

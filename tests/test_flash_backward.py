@@ -58,6 +58,40 @@ def test_flash_grads_with_bias():
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
 
 
+def test_attn_names_policy_prunes_forward_replay():
+    """The attn_out/attn_lse checkpoint tags (flash_attention's split
+    kernel/gradient structure) must actually remove the forward Pallas kernel
+    from the remat replay — the 'replayed flash forwards' shelf of the
+    round-3 train profile (docs/PERF.md).
+
+    Trace-level check (make_jaxpr executes nothing): interpret-mode pallas
+    carries an OrderedIOEffect that jax.checkpoint's partial-eval rejects, so
+    remat-over-flash cannot EXECUTE on CPU at all — numerics of the policy
+    path are covered by test_deep_stacks (XLA attention) and the backward
+    itself by the oracle tests above (saved vs replayed (o, lse) are the same
+    kernel outputs either way)."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 2, 256, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 256, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 64)).astype(np.float32))
+
+    def f(a, b, c):
+        return fa.flash_attention(a, b, c, block_q=128, block_k=128)
+
+    full = jax.checkpoint(f)
+    named = jax.checkpoint(f, policy=jax.checkpoint_policies
+                           .save_only_these_names("attn_out", "attn_lse"))
+
+    def n_kernels(g):
+        return str(jax.make_jaxpr(jax.grad(
+            lambda *xs: jnp.sum(g(*xs))))(q, k, v)).count("pallas_call")
+
+    # full recompute: fwd + replayed fwd + dq + dkv = 4; the names policy
+    # saves (o, lse) so the replayed forward is dead code = 3.
+    assert n_kernels(full) == 4
+    assert n_kernels(named) == 3
+
+
 def test_flash_forward_still_matches():
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.normal(size=(1, 1, 320, 64)).astype(np.float32))
