@@ -97,4 +97,6 @@ def test_serve_cli_context_parallel_flag(tmp_path):
     main(["--preset", "tiny", "--prompt", "a hero", "--height", "64",
           "--width", "64", "--steps", "1", "--context-parallel",
           "--out", os.fspath(out)])
-    assert Image.open(out).size == (64, 64)
+    # serving snaps to the bucket grid (smallest bucket 256) — CP must not
+    # change the snap behavior, only the attention sharding.
+    assert Image.open(out).size == (256, 256)
