@@ -140,11 +140,20 @@ def main():
                         ("lvl2 (2,20,1024,64)", (2, 20, 1024, 64)),
                         ("16k  (2,10,16384,64)", (2, 10, 16384, 64))]:
         q = jnp.asarray(rng.normal(size=shape), dtype)
-        # numeric check vs the product kernel at this shape
+        # numeric check vs the product kernel at this shape; fail fast so a
+        # wrong kernel can never report "winning" timings
         ref = flash_attention(q, q, q)
         got = chunked_attention(q, q, q)
         err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) -
                                     got.astype(jnp.float32))))
+        assert err <= 2e-2, f"{name}: chunked vs flash maxerr {err:.2e} > 2e-2"
+        if shape[2] <= 1024:  # anchor BOTH kernels to the exact oracle once
+            exact = attention_ref(q.astype(jnp.float32), q.astype(jnp.float32),
+                                  q.astype(jnp.float32))
+            for label, out in (("flash", ref), ("chunked", got)):
+                oerr = float(jnp.max(jnp.abs(exact - out.astype(jnp.float32))))
+                assert oerr <= 2e-2, \
+                    f"{name}: {label} vs exact oracle maxerr {oerr:.2e} > 2e-2"
         rows = [name, f"maxerr {err:.2e}"]
         t = timeit(flash_attention, q)
         rows.append(f"flash[1024x2048] {t:5.2f}")
