@@ -194,18 +194,30 @@ class Upsample2D(nn.Module):
 
 
 class GEGLUFeedForward(nn.Module):
-    """Transformer FFN with GEGLU gating (diffusers ``FeedForward`` default)."""
+    """Transformer FFN with GEGLU gating (diffusers ``FeedForward`` default).
+
+    ``quantized=True`` serves both projections as weight-only int8 (see
+    ``models/lora.py::LoRADense``) — the FFN kernels are the largest single
+    share of the UNet's transformer bytes."""
 
     dim: int
     mult: int = 4
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from diffsensei_tpu.models.lora import LoRADense
+
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="proj_in")(x)
+        dense = lambda feats, name: (
+            LoRADense(feats, quantized=True, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name=name)
+            if self.quantized else
+            nn.Dense(feats, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name=name))
+        proj = dense(inner * 2, "proj_in")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
         # diffusers GEGLU uses F.gelu (exact erf). In fp32 we match it exactly
         # (parity oracles); in bf16 the tanh approximation's error (<=5e-4) is
@@ -213,5 +225,4 @@ class GEGLUFeedForward(nn.Module):
         # vs tanh 5.19 ms on the fused [2,4096,2560]+matmul shape, 2026-08).
         exact = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
         x = h * nn.gelu(gate, approximate=not exact)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="proj_out")(x)
+        return dense(self.dim, "proj_out")(x)

@@ -45,21 +45,49 @@ class LoRADense(nn.Module):
 
     ``lora_alpha=None`` means ``alpha = rank`` — scale 1.0, matching the
     reference config ``lora_alpha=config.model.lora_rank`` (train.py:168-169).
+
+    ``quantized=True`` swaps the base kernel for weight-only int8
+    (per-output-channel symmetric: ``kernel_q`` int8 [in, out] +
+    ``kernel_scale`` fp32 [out], ``y = (x @ Q) * s``) — the serving layout
+    produced by ``models.quant_unet.quantize_unet_params``. The per-channel
+    scale factors out of the contraction, so XLA reads the int8 matrix
+    straight from HBM and fuses one multiply on the output. Bias and LoRA
+    adapters (QLoRA-style: int8 frozen base, adapters in compute dtype) are
+    unchanged. Serving-only — no grad path intended through ``kernel_q``.
     """
 
     features: int
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     use_bias: bool = True
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (x.shape[-1], self.features), self.param_dtype)
+        in_features = x.shape[-1]
         x = x.astype(self.dtype)
-        y = x @ kernel.astype(self.dtype)
+        if self.quantized:
+            # random init mirrors models/mllm/llama.py::Int8Dense — uniform
+            # ±127 ints have std ≈ 73.3, so scale 1/(73.3·sqrt(fan_in)) makes
+            # the effective weights lecun-normal-like for benches
+            def _q_init(key, shape, dtype=jnp.int8):
+                return jax.random.randint(key, shape, -127, 128,
+                                          jnp.int32).astype(dtype)
+
+            def _s_init(key, shape, dtype=jnp.float32):
+                del key
+                return jnp.full(shape, 1.0 / (73.3 * in_features ** 0.5),
+                                dtype)
+
+            q = self.param("kernel_q", _q_init, (in_features, self.features))
+            s = self.param("kernel_scale", _s_init, (self.features,))
+            y = (x @ q.astype(self.dtype)) * s.astype(self.dtype)
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (in_features, self.features), self.param_dtype)
+            y = x @ kernel.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)

@@ -69,6 +69,7 @@ class SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
+    quantized: bool = False
     # context parallelism (serving, opt-in): shard the spatial sequence over
     # ``cp_axis`` of ``cp_mesh`` and run ring-flash attention when the
     # sequence is at least ``cp_min_seq`` tokens (SURVEY §5 long-context:
@@ -82,6 +83,7 @@ class SelfAttention(nn.Module):
         dim = x.shape[-1]
         dense = lambda name: LoRADense(dim, lora_rank=self.lora_rank,
                                        use_bias=False, dtype=self.dtype,
+                                       quantized=self.quantized,
                                        param_dtype=self.param_dtype, name=name)
         q = _split_heads(dense("to_q")(x), self.heads)
         k = _split_heads(dense("to_k")(x), self.heads)
@@ -91,6 +93,7 @@ class SelfAttention(nn.Module):
             q, k, v, cp_mesh=self.cp_mesh if cp else None,
             cp_axis=self.cp_axis))
         return LoRADense(dim, lora_rank=self.lora_rank, dtype=self.dtype,
+                         quantized=self.quantized,
                          param_dtype=self.param_dtype, name="to_out")(o)
 
 
@@ -110,6 +113,7 @@ class MangaCrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ctx_text: jnp.ndarray,
@@ -123,10 +127,14 @@ class MangaCrossAttention(nn.Module):
         # to_v/to_out.0, train.py:171-173)
         dense = lambda name: LoRADense(dim, lora_rank=self.lora_rank,
                                        use_bias=False, dtype=self.dtype,
+                                       quantized=self.quantized,
                                        param_dtype=self.param_dtype, name=name)
-        ip_dense = lambda name: nn.Dense(dim, use_bias=False, dtype=self.dtype,
-                                         param_dtype=self.param_dtype,
-                                         name=name)
+        ip_dense = lambda name: (
+            LoRADense(dim, use_bias=False, quantized=True, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name=name)
+            if self.quantized else
+            nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name=name))
         q = _split_heads(dense("to_q")(x), self.heads)
         k = _split_heads(dense("to_k")(ctx_text), self.heads)
         v = _split_heads(dense("to_v")(ctx_text), self.heads)
@@ -141,6 +149,7 @@ class MangaCrossAttention(nn.Module):
 
         o = _merge_heads(h)
         return LoRADense(dim, lora_rank=self.lora_rank, dtype=self.dtype,
+                         quantized=self.quantized,
                          param_dtype=self.param_dtype, name="to_out")(o)
 
 
@@ -151,6 +160,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
+    quantized: bool = False
     cp_mesh: Any = None
     cp_axis: str = "data"
     cp_min_seq: int = 16384
@@ -161,15 +171,18 @@ class BasicTransformerBlock(nn.Module):
                                        param_dtype=self.param_dtype, name=name)
         x = x + SelfAttention(self.heads, self.dtype, self.param_dtype,
                               lora_rank=self.lora_rank,
+                              quantized=self.quantized,
                               cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
                               cp_min_seq=self.cp_min_seq,
                               name="attn1")(ln("norm1")(x))
         x = x + MangaCrossAttention(self.heads, self.dtype, self.param_dtype,
                                     lora_rank=self.lora_rank,
+                                    quantized=self.quantized,
                                     name="attn2")(
             ln("norm2")(x), ctx_text, ctx_ip, ip_bias, ip_scale)
         x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype,
                                  param_dtype=self.param_dtype,
+                                 quantized=self.quantized,
                                  name="ff")(ln("norm3")(x))
         return x
 
@@ -190,6 +203,7 @@ class Transformer2D(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
+    quantized: bool = False
     cp_mesh: Any = None
     cp_axis: str = "data"
     cp_min_seq: int = 16384
@@ -202,18 +216,23 @@ class Transformer2D(nn.Module):
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm")(x)
         x = x.reshape(b, h * w, c)
-        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj_in")(x)
+        proj = lambda name: (
+            LoRADense(c, quantized=True, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name=name)
+            if self.quantized else
+            nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name=name))
+        x = proj("proj_in")(x)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.heads, self.dtype, self.param_dtype,
                                       lora_rank=self.lora_rank,
+                                      quantized=self.quantized,
                                       cp_mesh=self.cp_mesh,
                                       cp_axis=self.cp_axis,
                                       cp_min_seq=self.cp_min_seq,
                                       name=f"blocks_{i}")(
                 x, ctx_text, ctx_ip, ip_bias, ip_scale)
-        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj_out")(x)
+        x = proj("proj_out")(x)
         return x.reshape(b, h, w, c) + residual
 
 
@@ -273,6 +292,14 @@ class UNetMangaModel(nn.Module):
     cp_mesh: Any = None
     cp_axis: str = "data"
     cp_min_seq: int = 16384
+    # weight-only int8 for every transformer matmul (qkv/out/ip/GEGLU/
+    # proj_in/out — 4.75 of the 5.42 GiB bf16 tree at SDXL geometry, so the
+    # resident UNet drops to ~3.0 GiB): the serving lever that lets the
+    # diffusion stack CO-RESIDE with the SEED-X agent on one 16 GB v5e
+    # (reference loads both on one device, scripts/demo/gradio.py:255-283).
+    # Convs/norms/time-embeddings stay in the compute dtype. Params come from
+    # models.quant_unet.quantize_unet_params; serving-only.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
@@ -302,7 +329,8 @@ class UNetMangaModel(nn.Module):
         N > 1 (the reference has no counterpart)."""
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        tkw = dict(kw, lora_rank=cfg.lora_rank, cp_mesh=self.cp_mesh,
+        tkw = dict(kw, lora_rank=cfg.lora_rank, quantized=self.quantized,
+                   cp_mesh=self.cp_mesh,
                    cp_axis=self.cp_axis, cp_min_seq=self.cp_min_seq)
         ResBlock = nn.remat(ResnetBlock2D) if self.remat_blocks \
             else ResnetBlock2D

@@ -73,6 +73,11 @@ def main(argv=None):
                         help="serve the agent LLM with int8 weight-only "
                         "quantization (merges LoRA, ~halves LLM HBM bytes; "
                         "fits the 13B-class SEED-X on one 16 GB v5e)")
+    parser.add_argument("--quantize-unet", action="store_true",
+                        help="serve the UNet's transformer matmuls as "
+                             "weight-only int8 (~5.4 -> ~3.0 GiB resident at "
+                             "SDXL scale) — the single-chip co-residence "
+                             "mode next to --quantize-llm")
     parser.add_argument("--prompt", default="")
     parser.add_argument("--negative-prompt", default=None)
     parser.add_argument("--height", type=int, default=1024)
@@ -133,6 +138,14 @@ def main(argv=None):
         modules = PipelineModules.tiny(jax.random.key(0))
         if args.weights:
             modules = load_weights_any(modules, args.weights)
+    if args.quantize_unet:
+        import dataclasses as _dc
+
+        from diffsensei_tpu.models.quant_unet import quantize_unet_params
+        modules.unet_params = quantize_unet_params(modules.unet_params)
+        modules.unet = modules.unet.clone(
+            config=_dc.replace(modules.unet.config, lora_rank=0),
+            quantized=True)
     if args.tokenizer:
         from diffsensei_tpu.train.cli import _load_tokenizer
         modules.tokenizer = _load_tokenizer(

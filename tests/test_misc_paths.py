@@ -100,3 +100,34 @@ def test_serve_cli_context_parallel_flag(tmp_path):
     # serving snaps to the bucket grid (smallest bucket 256) — CP must not
     # change the snap behavior, only the attention sharding.
     assert Image.open(out).size == (256, 256)
+
+
+def test_serve_cli_quantize_unet_flag(tmp_path):
+    """--quantize-unet converts the loaded UNet tree to the int8 serving
+    layout (models/quant_unet.py) and generation still produces a panel —
+    the single-chip co-residence mode (reference gradio.py:255-283 serves
+    agent + pipeline from one device)."""
+    import jax.numpy as jnp
+
+    import diffsensei_tpu.serve.api as api
+    from diffsensei_tpu.serve.cli import main
+
+    captured = {}
+    real = api.DiffSenseiServer
+
+    class Recording(real):
+        def __init__(self, pipeline, **kw):
+            captured["unet"] = pipeline.m.unet
+            captured["params"] = pipeline.m.unet_params
+            super().__init__(pipeline, **kw)
+
+    out = tmp_path / "panel_q.png"
+    import unittest.mock as mock
+    with mock.patch.object(api, "DiffSenseiServer", Recording):
+        main(["--preset", "tiny", "--prompt", "a hero", "--height", "64",
+              "--width", "64", "--steps", "1", "--quantize-unet",
+              "--out", os.fspath(out)])
+    assert captured["unet"].quantized
+    node = captured["params"]["params"]["mid_attn"]["blocks_0"]["attn1"]
+    assert node["to_q"]["kernel_q"].dtype == jnp.int8
+    assert Image.open(out).size == (256, 256)

@@ -218,3 +218,107 @@ def test_quantized_tp_sharding_rules():
     assert spec_for("params.layers_0.mlp.down_proj.base.kernel_scale",
                     rules) == P()
     assert spec_for("params.lm_head.kernel_q", rules) == P(None, "model")
+
+
+# ---------------------------------------------------------------------------
+# UNet weight-only int8 (models/quant_unet.py + UNetMangaModel(quantized=True))
+# — the other half of the single-chip co-residence story: the reference
+# serves agent + diffusion pipeline from ONE device (gradio.py:255-283).
+# ---------------------------------------------------------------------------
+def _tiny_unet(lora_rank=0, quantized=False, seed=0):
+    from diffsensei_tpu.core.config import UNetConfig
+    from diffsensei_tpu.models.unet import UNetMangaModel
+    from tests.test_models import _unet_inputs
+    import dataclasses
+
+    cfg = dataclasses.replace(UNetConfig.tiny(), lora_rank=lora_rank)
+    model = UNetMangaModel(cfg, quantized=quantized)
+    inputs = _unet_inputs(cfg)
+    return cfg, model, inputs
+
+
+def test_quantize_unet_params_layout_matches_quantized_init():
+    """Converter output must be loadable by UNetMangaModel(quantized=True):
+    identical tree structure, shapes and dtypes as that model's own init."""
+    from diffsensei_tpu.models.quant_unet import quantize_unet_params
+    from diffsensei_tpu.models.unet import UNetMangaModel
+
+    cfg, model, inputs = _tiny_unet()
+    params = model.init(jax.random.key(0), **inputs)
+    qparams = quantize_unet_params(params)
+
+    qmodel = UNetMangaModel(cfg, quantized=True)
+    tmpl = jax.eval_shape(lambda k: qmodel.init(k, **inputs), jax.random.key(1))
+    got = jax.tree.map(lambda x: (x.shape, str(x.dtype)), qparams)
+    want = jax.tree.map(lambda x: (x.shape, str(x.dtype)), tmpl)
+    assert got == want
+
+
+def test_quantized_unet_output_close_to_fp32():
+    from diffsensei_tpu.models.quant_unet import quantize_unet_params
+    from diffsensei_tpu.models.unet import UNetMangaModel
+
+    cfg, model, inputs = _tiny_unet()
+    params = model.init(jax.random.key(0), **inputs)
+    ref = np.asarray(model.apply(params, **inputs), np.float64)
+
+    qmodel = UNetMangaModel(cfg, quantized=True)
+    got = np.asarray(qmodel.apply(quantize_unet_params(params), **inputs),
+                     np.float64)
+    cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.999, cos
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quantize_unet_merges_lora_first():
+    """A LoRA-trained UNet tree quantizes to the rank-0 serving layout and
+    reproduces the MERGED model (adapters folded, not dropped)."""
+    from diffsensei_tpu.models.lora import merge_lora_params
+    from diffsensei_tpu.models.quant_unet import quantize_unet_params
+    from diffsensei_tpu.models.unet import UNetMangaModel
+
+    cfg, model, inputs = _tiny_unet(lora_rank=2)
+    params = model.init(jax.random.key(0), **inputs)
+    # make one adapter non-trivial (B=0 init would make merge an identity)
+    node = params["params"]["mid_attn"]["blocks_0"]["attn1"]["to_q"]
+    node["lora_b"] = jnp.ones_like(node["lora_b"]) * 0.02
+
+    import dataclasses
+
+    cfg0 = dataclasses.replace(cfg, lora_rank=0)
+    merged_ref = np.asarray(
+        UNetMangaModel(cfg0).apply(merge_lora_params(params), **inputs),
+        np.float64)
+
+    qparams = quantize_unet_params(params)
+    flat = jax.tree_util.tree_flatten_with_path(qparams)[0]
+    assert not any("lora" in str(p) for p, _ in flat)
+    got = np.asarray(
+        UNetMangaModel(cfg0, quantized=True).apply(qparams, **inputs),
+        np.float64)
+    cos = (merged_ref * got).sum() / (
+        np.linalg.norm(merged_ref) * np.linalg.norm(got))
+    assert cos > 0.999, cos
+
+
+def test_quantize_unet_leaves_convs_alone():
+    from diffsensei_tpu.models.quant_unet import quantize_unet_params
+
+    cfg, model, inputs = _tiny_unet()
+    params = model.init(jax.random.key(0), **inputs)
+    q = quantize_unet_params(params)["params"]
+    p = params["params"]
+    np.testing.assert_array_equal(np.asarray(q["conv_in"]["kernel"]),
+                                  np.asarray(p["conv_in"]["kernel"]))
+    # attention projections converted; GEGLU ffn converted
+    blk = q["mid_attn"]["blocks_0"]
+    assert set(blk["attn1"]["to_q"]) == {"kernel_q", "kernel_scale"}
+    assert set(blk["attn2"]["to_k_ip"]) == {"kernel_q", "kernel_scale"}
+    assert "kernel_q" in blk["ff"]["proj_in"]
+    assert "kernel_q" in q["mid_attn"]["proj_in"]
+    # resnet time projection (2-D kernel, non-target name) passes through
+    res = q["mid_resnet_0"]
+    np.testing.assert_array_equal(
+        np.asarray(res["time_emb_proj"]["kernel"]),
+        np.asarray(p["mid_resnet_0"]["time_emb_proj"]["kernel"]))
