@@ -72,24 +72,84 @@ class Int8Dense(nn.Module):
         return y * s.astype(self.dtype)
 
 
+class Int4Dense(nn.Module):
+    """Weight-only int4 dense with group-wise scales (serving-only).
+
+    ``kernel_q`` int4 [in, out] (XLA packs s4 two-per-byte in HBM) +
+    ``kernel_scale`` fp32 [in/G, out], G = gcd(group, in). Two lowerings:
+
+    * **decode** (≤16 tokens — the HBM-bandwidth-bound regime int4 targets):
+      grouped contraction ``y = Σ_g s[g] · (x_g @ Q_g)`` — the scale stays
+      outside every dot so the weight stream from HBM is the packed int4
+      matrix itself: ~¼ the bytes of bf16, ~½ of int8, which is the decode
+      ms/token in the same ratio.
+    * **prefill / training shapes**: dequantize per-call (one convert+mul
+      producing the dot operand) — prefill is MXU-bound, so weight bytes
+      don't matter and the plain matmul keeps XLA's tiling optimal.
+
+    Quality: group-wise int4 (AWQ/GPTQ-family layout, PAPERS.md) — per-group
+    absmax/7 symmetric. Params from ``quant.quantize_llm_params(bits=4)``.
+    Single-chip serving path; the TP mesh rules are written for the int8/bf16
+    layouts (a 2-D ``kernel_scale`` under TP shards the group axis — correct
+    but not perf-tuned).
+    """
+
+    features: int
+    group: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import math
+
+        in_features = x.shape[-1]
+        g = math.gcd(self.group, in_features)
+        gn = in_features // g
+
+        def _q_init(key, shape, dtype=jnp.int4):
+            return jax.random.randint(key, shape, -7, 8,
+                                      jnp.int8).astype(dtype)
+
+        # uniform ±7 ints have std ≈ 4.32 → lecun-normal-like effective scale
+        def _s_init(key, shape, dtype=jnp.float32):
+            del key
+            return jnp.full(shape, 1.0 / (4.32 * in_features ** 0.5), dtype)
+
+        q = self.param("kernel_q", _q_init, (in_features, self.features))
+        s = self.param("kernel_scale", _s_init, (gn, self.features))
+        tokens = math.prod(x.shape[:-1])
+        if tokens <= 16:
+            xg = x.reshape(x.shape[:-1] + (gn, g))
+            q4 = q.reshape(gn, g, self.features).astype(self.dtype)
+            part = jnp.einsum("...gi,gio->...go", xg, q4)
+            return jnp.sum(part * s.astype(self.dtype), axis=-2)
+        w = (q.reshape(gn, g, self.features).astype(self.dtype)
+             * s.astype(self.dtype)[:, None, :])
+        return x @ w.reshape(in_features, self.features)
+
+
 class LoRADense(nn.Module):
     """Dense with optional low-rank adapter (merged at serve time).
 
-    ``quantized=True`` swaps the base matmul for :class:`Int8Dense` (QLoRA
-    layout: int8 frozen base, adapters — if any — stay in the compute dtype).
+    ``quantized`` truthy swaps the base matmul for a weight-only quantized
+    dense (QLoRA layout: quantized frozen base, adapters — if any — stay in
+    the compute dtype): ``True``/``"int8"`` → :class:`Int8Dense`,
+    ``"int4"`` → :class:`Int4Dense`.
     """
 
     features: int
     lora_rank: int = 0
     lora_alpha: float = 16.0
     use_bias: bool = False
-    quantized: bool = False
+    quantized: Any = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.quantized:
+        if str(self.quantized) == "int4":
+            y = Int4Dense(self.features, dtype=self.dtype, name="base")(x)
+        elif self.quantized:
             y = Int8Dense(self.features, dtype=self.dtype, name="base")(x)
         else:
             y = nn.Dense(self.features, use_bias=self.use_bias,
@@ -140,7 +200,7 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
-    quantized: bool = False
+    quantized: Any = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -198,7 +258,7 @@ class LlamaAttention(nn.Module):
 class LlamaMLP(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
-    quantized: bool = False
+    quantized: Any = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -216,7 +276,7 @@ class LlamaMLP(nn.Module):
 class LlamaLayer(nn.Module):
     config: LlamaConfig
     lora_rank: int = 0
-    quantized: bool = False
+    quantized: Any = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -252,7 +312,8 @@ class LlamaForCausalLM(nn.Module):
     # forward of every layer — same policy family as
     # ``UNetMangaModel.remat_policy``. None = full recompute.
     remat_policy: Optional[str] = None
-    quantized: bool = False
+    # False | True/"int8" | "int4" — weight-only quantized serving
+    quantized: Any = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -274,7 +335,10 @@ class LlamaForCausalLM(nn.Module):
                                  name=f"layers_{i}", **kw)
                        for i in range(cfg.num_layers)]
         self.norm = RMSNorm(cfg.rms_norm_eps, name="norm", **kw)
-        if self.quantized:
+        if str(self.quantized) == "int4":
+            self.lm_head = Int4Dense(cfg.vocab_size, dtype=self.dtype,
+                                     name="lm_head")
+        elif self.quantized:
             self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
                                      name="lm_head")
         else:

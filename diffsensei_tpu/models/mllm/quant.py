@@ -40,6 +40,28 @@ def quantize_kernel(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale
 
 
+def quantize_kernel_int4(w: np.ndarray,
+                         group: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+    """Group-wise symmetric int4: w[in, out] → (q, scale[in/G, out]).
+
+    AWQ/GPTQ-family layout (PAPERS.md): one fp32 scale per (input-group,
+    output-channel), G = gcd(group, in) so any width divides evenly. Range
+    ±7 (the -8 code is unused — symmetric). ``q`` returns as int8 host-side;
+    the caller casts to ``jnp.int4`` for the packed device layout consumed by
+    ``models.mllm.llama.Int4Dense``.
+    """
+    import math
+
+    w = np.asarray(w, np.float32)
+    in_f, out_f = w.shape
+    g = math.gcd(group, in_f)
+    wg = w.reshape(in_f // g, g, out_f)
+    absmax = np.max(np.abs(wg), axis=1)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(wg / scale[:, None, :]), -7, 7).astype(np.int8)
+    return q.reshape(in_f, out_f), scale
+
+
 def merge_llm_lora(params: Any, alpha: Optional[float] = None) -> Any:
     """Fold LLM LoRA adapters into their nested ``base/kernel`` weights.
 
@@ -71,19 +93,29 @@ def merge_llm_lora(params: Any, alpha: Optional[float] = None) -> Any:
     return walk(params)
 
 
-def quantize_llm_params(params: Any) -> Any:
-    """Convert a (LoRA-free) LLM param tree to the ``quantized=True`` layout.
+def quantize_llm_params(params: Any, bits: int = 8) -> Any:
+    """Convert a (LoRA-free) LLM param tree to the quantized layout.
 
     Every ``.../base/{kernel}`` (the LoRADense projections) and the top-level
-    ``lm_head/{kernel}`` become ``{kernel_q: int8, kernel_scale: fp32}``;
-    everything else (embeddings, norms) is passed through unchanged. Works
-    leaf-by-leaf on host so the source tree may be numpy arrays from a torch
-    port — nothing needs to fit on-device in the source dtype.
+    ``lm_head/{kernel}`` become ``{kernel_q, kernel_scale}`` — int8
+    per-output-channel (``bits=8``, the ``quantized=True`` layout) or int4
+    group-wise (``bits=4``, the ``quantized="int4"`` layout that co-resides
+    with the diffusion stack on one 16 GB chip); everything else (embeddings,
+    norms) is passed through unchanged. Works leaf-by-leaf on host so the
+    source tree may be numpy arrays from a torch port — nothing needs to fit
+    on-device in the source dtype.
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
     def convert_dense(node: Dict[str, Any]) -> Dict[str, Any]:
-        q, s = quantize_kernel(node["kernel"])
         out = {k: v for k, v in node.items() if k != "kernel"}
-        out["kernel_q"] = jnp.asarray(q)
+        if bits == 4:
+            q, s = quantize_kernel_int4(node["kernel"])
+            out["kernel_q"] = jnp.asarray(q).astype(jnp.int4)
+        else:
+            q, s = quantize_kernel(node["kernel"])
+            out["kernel_q"] = jnp.asarray(q)
         out["kernel_scale"] = jnp.asarray(s)
         return out
 
@@ -97,13 +129,17 @@ def quantize_llm_params(params: Any) -> Any:
     return walk(params)
 
 
-def quantize_agent(agent, alpha: Optional[float] = None):
-    """ContinuousLVLM → int8-LLM ContinuousLVLM (merge LoRA, quantize).
+def quantize_agent(agent, alpha: Optional[float] = None, bits: int = 8):
+    """ContinuousLVLM → quantized-LLM ContinuousLVLM (merge LoRA, quantize).
 
-    The resamplers (a few hundred MB at SEED-X scale) stay in the compute
-    dtype. The returned agent's ``llm`` is a ``lora_rank=0, quantized=True``
-    model; ``generate``/``loss`` signatures are unchanged (training through
-    int8 weights is not supported — this is the serving path).
+    ``bits=8`` (default) → int8 per-output-channel; ``bits=4`` → group-wise
+    int4 (~6.1 GiB at 13B — the single-chip CO-RESIDENT topology where agent
+    and diffusion stack serve from one 16 GB v5e, reference
+    ``gradio.py:255-283``). The resamplers (a few hundred MB at SEED-X scale)
+    stay in the compute dtype. The returned agent's ``llm`` is a
+    ``lora_rank=0`` quantized model; ``generate``/``loss`` signatures are
+    unchanged (training through quantized weights is not supported — this is
+    the serving path).
     """
     import jax
 
@@ -118,8 +154,9 @@ def quantize_agent(agent, alpha: Optional[float] = None):
                 "load real LLM weights first (utils.load.load_agent_weights)")
 
     merged = merge_llm_lora(agent.llm_params, alpha=alpha)
-    qparams = quantize_llm_params(merged)
+    qparams = quantize_llm_params(merged, bits=bits)
     qllm = LlamaForCausalLM(agent.llm.config, lora_rank=0, remat=False,
-                            quantized=True, dtype=agent.llm.dtype,
+                            quantized="int4" if bits == 4 else True,
+                            dtype=agent.llm.dtype,
                             param_dtype=agent.llm.param_dtype)
     return dataclasses.replace(agent, llm=qllm, llm_params=qparams)

@@ -80,11 +80,12 @@ class ContinuousLVLM:
     def build(cls, config: AgentConfig, rng: jax.Array,
               dtype=jnp.float32, lora_rank: Optional[int] = None,
               remat: bool = False, remat_policy: Optional[str] = None,
-              quantized: bool = False,
+              quantized=False,
               abstract: bool = False,
               jit_init: bool = False) -> "ContinuousLVLM":
-        """``quantized=True`` builds the int8 weight-only serving LLM
-        (random int8 init — real weights come via
+        """``quantized`` truthy builds the weight-only quantized serving LLM
+        (``True``/``"int8"`` per-channel int8, ``"int4"`` group-wise int4;
+        random init — real weights come via
         ``models.mllm.quant.quantize_agent`` / ``quantize_llm_params``).
 
         ``abstract=True`` skips materializing params — trees hold

@@ -322,3 +322,80 @@ def test_quantize_unet_leaves_convs_alone():
     np.testing.assert_array_equal(
         np.asarray(res["time_emb_proj"]["kernel"]),
         np.asarray(p["mid_resnet_0"]["time_emb_proj"]["kernel"]))
+
+
+# ---------------------------------------------------------------------------
+# int4 group-wise LLM quantization (models/mllm/llama.py::Int4Dense) — the
+# co-residence lever: 13B weights drop to ~6.1 GiB so agent + diffusion
+# stack fit ONE 16 GB chip (reference serves both from one device,
+# gradio.py:255-283), and the bandwidth-bound decode reads half the bytes
+# of int8.
+# ---------------------------------------------------------------------------
+def test_quantize_kernel_int4_roundtrip():
+    from diffsensei_tpu.models.mllm.quant import quantize_kernel_int4
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.03, (256, 48)).astype(np.float32)
+    q, s = quantize_kernel_int4(w, group=128)
+    assert q.shape == w.shape and s.shape == (2, 48)
+    assert q.min() >= -7 and q.max() <= 7
+    deq = q.astype(np.float32).reshape(2, 128, 48) * s[:, None, :]
+    err = np.abs(deq.reshape(256, 48) - w)
+    assert err.max() <= 0.5 * s.max() + 1e-7
+    # zero group must not produce NaNs
+    w[:128, 3] = 0.0
+    q, s = quantize_kernel_int4(w, group=128)
+    assert np.isfinite(s).all() and np.all(q[:128, 3] == 0)
+
+
+def test_int4_logits_close_to_fp32():
+    agent = _tiny_agent()
+    q4 = quantize_agent(agent, bits=4)
+    assert str(q4.llm.quantized) == "int4"
+    base = q4.llm_params["params"]["layers_0"]["attn"]["q_proj"]["base"]
+    assert base["kernel_q"].dtype == jnp.int4
+    assert base["kernel_scale"].ndim == 2
+    ids = np.arange(1, 13, dtype=np.int32)[None]
+    ref, _, _ = agent.llm.apply(agent.llm_params, jnp.asarray(ids))
+    got, _, _ = q4.llm.apply(q4.llm_params, jnp.asarray(ids))
+    r, g = np.asarray(ref, np.float64), np.asarray(got, np.float64)
+    cos = (r * g).sum() / (np.linalg.norm(r) * np.linalg.norm(g))
+    # RTN int4 carries ~10-14% weight noise by construction (step = absmax/7
+    # ~= 0.5 sigma on random normal weights) -- logits track direction but
+    # NOT the int8-level 0.999 cosine; this bound documents the real trade.
+    assert cos > 0.9, cos
+
+
+def test_int4_decode_and_prefill_paths_agree():
+    """Int4Dense lowers decode (<=16 tokens, grouped contraction) and prefill
+    (dequant matmul) differently; both must compute the same function."""
+    from diffsensei_tpu.models.mllm.llama import Int4Dense
+
+    rng = np.random.default_rng(1)
+    layer = Int4Dense(24, group=16, dtype=jnp.float32)
+    params = layer.init(jax.random.key(0), jnp.zeros((1, 1, 64)))
+    x = jnp.asarray(rng.normal(size=(2, 20, 64)), jnp.float32)  # prefill path
+    y_pre = layer.apply(params, x)
+    y_dec = jnp.concatenate(  # same rows through the decode path
+        [layer.apply(params, x[:, i:i + 1]) for i in range(20)], axis=1)
+    np.testing.assert_allclose(np.asarray(y_pre), np.asarray(y_dec),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int4_generate_ladder_fires():
+    agent = quantize_agent(_tiny_agent(), bits=4)
+    cfg = agent.config
+    nq = cfg.input_resampler.num_queries
+    vocab = cfg.llm.vocab_size
+    ladder = np.arange(vocab - nq - 2, vocab, dtype=np.int64)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, vocab - nq - 4, (1, 8)).astype(np.int32)
+    prompt[0, -1] = int(ladder[0])
+    image_embeds = jnp.asarray(
+        rng.normal(size=(1, 5, cfg.input_resampler.kv_dim)), jnp.float32)
+    mask = np.zeros((1, 8), bool)
+    mask[0, 1:1 + nq] = True
+    out = agent.generate(prompt, image_embeds=image_embeds,
+                         ids_cmp_mask=jnp.asarray(mask), ladder_ids=ladder,
+                         max_new_tokens=nq + 4)
+    assert out["num_gen_imgs"] >= 1
