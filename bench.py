@@ -64,6 +64,35 @@ def _pause(want_s: float, why: str) -> bool:
     return True
 
 
+def _load_marker(name: str, anchor_ms=None, tol: float = 0.10):
+    """Read a cached leg measurement from ``.bench-cache/<name>`` (VERDICT r4
+    next #2). ``anchor_ms``: the current run's ``denoise_step_device_ms`` —
+    a marker recorded under a different code state (device anchor off by
+    >tol) is discarded rather than resurrecting a stale number."""
+    p = _os.path.join(_REPO, ".bench-cache", name)
+    if not _os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except Exception:  # noqa: BLE001 — corrupt marker = no marker
+        return None
+    if anchor_ms and m.get("anchor_device_ms"):
+        if abs(m["anchor_device_ms"] - anchor_ms) > tol * anchor_ms:
+            print(f"# stale marker {name}: anchor "
+                  f"{m['anchor_device_ms']:.1f} vs current {anchor_ms:.1f} "
+                  "ms — discarding", flush=True)
+            return None
+    return m
+
+
+def _save_marker(name: str, data: dict) -> None:
+    p = _os.path.join(_REPO, ".bench-cache", name)
+    _os.makedirs(_os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(data, f)
+
+
 def _snapshot_params(unet, init_args):
     """Serve the bench from an Orbax weights snapshot (VERDICT r2 weak #2):
     the honest serving path is load-from-disk (``serve/cli.py --weights``),
@@ -152,7 +181,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from diffsensei_tpu.core.cache import enable_compilation_cache
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
 
     from diffsensei_tpu.core.config import UNetConfig, VAEConfig
     from diffsensei_tpu.models.schedulers import make_sampler, scale_model_input
@@ -232,6 +261,11 @@ def main() -> None:
     # Retry on RESOURCE_EXHAUSTED: the tunnel chip is shared and another
     # tenant's transient HBM footprint can momentarily leave no room
     # (observed 2026-08-17); waiting it out beats dying.
+    # compile_cache_hit (VERDICT r4 next #3): if the first call wrote new
+    # entries into the persistent cache, the "warm" number actually paid a
+    # compile (round-4 artifact said warm 289 s vs the repo's measured 105 s
+    # with no way to tell why) — the flag makes the artifact self-describing.
+    n_cache_entries = len(_os.listdir(cache_dir))
     t0 = time.perf_counter()
     for attempt in range(4):
         try:
@@ -244,6 +278,7 @@ def main() -> None:
             if not _pause(120, "OOM on first call (shared-chip tenant?)"):
                 raise
     ttf_s = time.perf_counter() - t0
+    compile_cache_hit = len(_os.listdir(cache_dir)) == n_cache_entries
 
     # optional VAE decode (fp32); excluded from the denoise timing below,
     # included in panels/sec
@@ -471,6 +506,7 @@ def main() -> None:
         "unet_step_device_ms": (round(device_step_ms / 2, 2)
                                 if device_step_ms else None),
         "ttf_warm_s": round(ttf_warm_s, 2),
+        "compile_cache_hit": compile_cache_hit,
         "ttf_cold_s": None,
         "vae_decode_s": round(vae_s, 3),
         "batched_bs2_panels_per_sec": None,
@@ -478,14 +514,18 @@ def main() -> None:
         "deepcache_panels_per_sec": None,
         "deepcache_interval": None,
         "mllm_panels_per_sec": None,
+        "mllm_topology": None,
         "mllm_decode_s": None,
         "mllm_decode_tokens_per_sec": None,
+        "mllm_int4_tokens_per_sec": None,
         "mllm_llm_geometry": None,
         "mllm_13b_peak_hbm_gb": None,
+        "coresident_peak_hbm_gb": None,
         "param_load_s": round(load_s, 2),
         "snapshot_created_s": (round(created_s, 1) if created_s else None),
         "chip_matmul_tflops": (round(tflops, 1) if tflops else None),
         "contention_retries": contention_retries,
+        "skipped": {},   # leg -> reason, so null fields self-describe
         "backend": jax.default_backend(),
     }
     print(json.dumps(result), flush=True)
@@ -499,6 +539,16 @@ def main() -> None:
     if os.environ.get("BENCH_BATCHED", "1") != "0":
         for bn in (2, 4):
             if _time_left() < 180:
+                cached = _load_marker("batched.json", device_step_ms)
+                key = f"batched_bs{bn}_panels_per_sec"
+                if cached and cached.get(key) is not None:
+                    result[key] = cached[key]
+                    result["skipped"][f"batched_bs{bn}"] = \
+                        "deadline (cached measurement reused)"
+                    print(json.dumps(result), flush=True)
+                else:
+                    result["skipped"][f"batched_bs{bn}"] = \
+                        "deadline (no valid cached marker)"
                 print(f"# batched bs={bn} skipped: deadline", flush=True)
                 continue
             try:
@@ -534,8 +584,16 @@ def main() -> None:
                     batched_s = min(batched_s, retry_s)
                 result[f"batched_bs{bn}_panels_per_sec"] = round(
                     bn / (batched_s + bn * vae_s), 4)
+                if device_step_ms:
+                    marker = _load_marker("batched.json") or {}
+                    marker["anchor_device_ms"] = round(device_step_ms, 2)
+                    marker[f"batched_bs{bn}_panels_per_sec"] = \
+                        result[f"batched_bs{bn}_panels_per_sec"]
+                    _save_marker("batched.json", marker)
                 print(json.dumps(result), flush=True)
             except Exception as e:  # noqa: BLE001
+                result["skipped"][f"batched_bs{bn}"] = \
+                    f"{type(e).__name__}: {e}"[:120]
                 print(f"# batched bs={bn} skipped: {type(e).__name__}: {e}")
 
     # DeepCache serving knob (opt-in product feature, models/unet.py
@@ -592,10 +650,28 @@ def main() -> None:
             result["deepcache_panels_per_sec"] = round(
                 b / (cond_s + dc_s + vae_s), 4)
             result["deepcache_interval"] = deepcache_interval
+            if device_step_ms:
+                _save_marker("deepcache.json", {
+                    "anchor_device_ms": round(device_step_ms, 2),
+                    "deepcache_panels_per_sec":
+                        result["deepcache_panels_per_sec"],
+                    "deepcache_interval": deepcache_interval})
             print(json.dumps(result), flush=True)
         except Exception as e:  # noqa: BLE001
+            result["skipped"]["deepcache"] = f"{type(e).__name__}: {e}"[:120]
             print(f"# deepcache leg skipped: {type(e).__name__}: {e}")
     elif os.environ.get("BENCH_SKIP_DEEPCACHE") != "1":
+        cached = _load_marker("deepcache.json", device_step_ms)
+        if cached and cached.get("deepcache_panels_per_sec") is not None:
+            result["deepcache_panels_per_sec"] = \
+                cached["deepcache_panels_per_sec"]
+            result["deepcache_interval"] = cached.get("deepcache_interval")
+            result["skipped"]["deepcache"] = \
+                "deadline (cached measurement reused)"
+            print(json.dumps(result), flush=True)
+        else:
+            result["skipped"]["deepcache"] = \
+                "deadline (no valid cached marker)"
         print("# deepcache leg skipped: deadline", flush=True)
 
     # ---- past this point the diffusion stack is no longer needed: free its
@@ -604,24 +680,49 @@ def main() -> None:
     _free_device_trees(params, vae_params, cond_trees, ctx, pooled, ip_tokens,
                        biases)
 
-    # full-MLLM pipeline (BASELINE config #4) at the RELEASED 13B-class
-    # geometry (VERDICT r3 missing #1/#2): int8 weight-only SEED-X agent
-    # decode measured on the chip by tools/bench_mllm_13b.py (subprocess —
-    # the 13 GB weight tree cannot coexist with the resident diffusion
-    # stack). The measurement is cached in .bench-cache/mllm13b.json so a
-    # deadline-tight driver run reuses the number instead of re-measuring.
+    # full-MLLM pipeline (BASELINE config #4) with an HONEST topology
+    # (VERDICT r4 missing #1): the headline number comes from
+    # tools/bench_coresident.py — int4 13B agent + int8 UNet + full
+    # conditioning chain ALL RESIDENT on this one chip, no swaps (matching
+    # the reference's single-device serving, gradio.py:255-283). Runs as a
+    # subprocess after the bf16 diffusion stack above is freed; cached in
+    # .bench-cache/coresident.json for deadline-tight driver runs.
     if HEIGHT == 1024 and os.environ.get("BENCH_SKIP_MLLM") != "1":
+        cores = _coresident_leg()
+        if cores is not None:
+            result["mllm_panels_per_sec"] = cores["coresident_panels_per_sec"]
+            result["mllm_topology"] = cores["topology"]
+            result["mllm_decode_s"] = cores["mllm_decode_s"]
+            result["mllm_int4_tokens_per_sec"] = \
+                cores["mllm_int4_tokens_per_sec"]
+            result["mllm_llm_geometry"] = cores["mllm_llm_geometry"]
+            result["coresident_peak_hbm_gb"] = cores.get("peak_hbm_gb")
+            print(json.dumps(result), flush=True)
+
+        # int8 decode capability at the same geometry (the 2x-HBM serving
+        # point with higher fidelity than int4; tools/bench_mllm_13b.py,
+        # cannot co-reside with the diffusion stack — reported as a decode
+        # rate, not a panels/s topology)
         mllm = _mllm_13b_leg()
         if mllm is not None:
-            decode_13b_s = mllm["mllm_13b_decode_s"]
-            result["mllm_panels_per_sec"] = round(
-                b / (cond_s + decode_13b_s + denoise_s + vae_s), 4)
-            result["mllm_decode_s"] = round(decode_13b_s, 3)
             result["mllm_decode_tokens_per_sec"] = \
                 mllm["mllm_13b_int8_tokens_per_sec"]
-            result["mllm_llm_geometry"] = mllm["mllm_13b_geometry"]
             result["mllm_13b_peak_hbm_gb"] = mllm.get("mllm_13b_peak_hbm_gb")
+            if cores is None:
+                # fallback config-#4: phase-sum with the topology LABELED as
+                # an upper bound that one chip cannot co-host (r4's silent
+                # assumption, now explicit)
+                decode_13b_s = mllm["mllm_13b_decode_s"]
+                result["mllm_panels_per_sec"] = round(
+                    b / (cond_s + decode_13b_s + denoise_s + vae_s), 4)
+                result["mllm_decode_s"] = round(decode_13b_s, 3)
+                result["mllm_llm_geometry"] = mllm["mllm_13b_geometry"]
+                result["mllm_topology"] = ("phase-sum upper bound (int8 "
+                                           "agent and bf16 diffusion stack "
+                                           "are NOT co-resident on one chip)")
             print(json.dumps(result), flush=True)
+        if cores is None and mllm is None:
+            result["skipped"]["mllm"] = "deadline (no cached marker)"
 
     # cold TTF: subprocess against an EMPTY compile cache (the number a
     # first-ever serve on a fresh machine pays); cached across bench runs.
@@ -630,6 +731,35 @@ def main() -> None:
         if ttf_cold_s:
             result["ttf_cold_s"] = round(ttf_cold_s, 2)
             print(json.dumps(result), flush=True)
+
+
+def _coresident_leg():
+    """Co-resident config-#4 measurement (tools/bench_coresident.py): reuse
+    the cached marker if present, else run the subprocess within the
+    deadline (it compiles the int4 decode + int8 denoise programs — allow a
+    generous window; all programs land in the persistent cache)."""
+    import subprocess
+    import sys
+
+    marker = _load_marker("coresident.json")
+    if marker is not None:
+        return marker
+    if _time_left() < 900:
+        print("# coresident leg skipped: deadline (no cached marker)",
+              flush=True)
+        return None
+    try:
+        out = subprocess.run(
+            [sys.executable, _os.path.join(_REPO, "tools",
+                                           "bench_coresident.py")],
+            capture_output=True, text=True,
+            timeout=max(60, min(3000, _time_left() - 60)))
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 — supplementary leg
+        print(f"# coresident leg skipped: {type(e).__name__}: {e}",
+              flush=True)
+        return None
 
 
 def _mllm_13b_leg():

@@ -69,6 +69,12 @@ def main(argv=None):
     parser.add_argument("--mllm-tokenizer", default=None,
                         help="HF LlamaTokenizer dir with the <img_k> ladder "
                         "tokens (reference mllm/tokenizer)")
+    parser.add_argument("--quantize-llm-bits", type=int, default=8,
+                        choices=[4, 8],
+                        help="weight-only LLM quantization width: 8 = "
+                             "per-channel int8 (~13 GiB at 13B), 4 = "
+                             "group-wise int4 (~6.1 GiB — co-resides with "
+                             "the diffusion stack on one 16 GB chip)")
     parser.add_argument("--quantize-llm", action="store_true",
                         help="serve the agent LLM with int8 weight-only "
                         "quantization (merges LoRA, ~halves LLM HBM bytes; "
@@ -178,7 +184,7 @@ def main(argv=None):
                     raise SystemExit(f"--quantize-llm: agent checkpoint is "
                                      f"missing the {name.split('_par')[0]} "
                                      "group")
-            agent = quantize_agent(agent)   # raises if llm group missing
+            agent = quantize_agent(agent, bits=args.quantize_llm_bits)
             agent = _dc.replace(
                 agent,
                 llm_params=jax.device_put(agent.llm_params),

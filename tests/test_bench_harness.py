@@ -61,3 +61,21 @@ def test_mllm_leg_skips_on_deadline_without_marker(monkeypatch, tmp_path):
     bench = _fresh_bench(monkeypatch, deadline="30")
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))   # no marker
     assert bench._mllm_13b_leg() is None                 # skipped, no spawn
+
+
+def test_marker_roundtrip_and_anchor_validation(monkeypatch, tmp_path):
+    """VERDICT r4 next #2: cached leg measurements survive deadline-tight
+    runs, but a marker recorded under a different code state (device anchor
+    off by >10%) is discarded."""
+    bench = _fresh_bench(monkeypatch)
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    assert bench._load_marker("batched.json") is None
+    bench._save_marker("batched.json", {"anchor_device_ms": 100.0,
+                                        "batched_bs2_panels_per_sec": 0.4})
+    m = bench._load_marker("batched.json", anchor_ms=105.0)
+    assert m and m["batched_bs2_panels_per_sec"] == 0.4
+    assert bench._load_marker("batched.json", anchor_ms=120.0) is None
+    assert bench._load_marker("batched.json") is not None  # no anchor check
+    # corrupt marker = no marker
+    (tmp_path / ".bench-cache" / "batched.json").write_text("{nope")
+    assert bench._load_marker("batched.json") is None
