@@ -563,6 +563,7 @@ class DiffSenseiPipeline:
         target_size: Optional[Tuple[int, int]] = None,
         num_samples: int = 1,
         rng: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
         ip_pixel_values: Optional[jnp.ndarray] = None,
         ip_image_embeds: Optional[jnp.ndarray] = None,
         ip_bbox: Optional[Sequence[Sequence[float]]] = None,
@@ -584,7 +585,14 @@ class DiffSenseiPipeline:
         (levels >= ``deep_cache_split`` + mid) only every N-th denoise step,
         reusing the cached feature in between (DeepCache-family speed/quality
         knob; N=1 is exact, N=2-3 typical). Masked-IP cross-attention at the
-        shallow levels stays live every step."""
+        shallow levels stays live every step.
+
+        ``latents``: caller-supplied standard-normal draw
+        [num_samples, H/8, W/8, C] replacing the internal ``rng`` draw (the
+        diffusers ``latents=`` surface the reference inherits through
+        ``prepare_latents``, pipeline_diffsensei.py:253) — lets the serving
+        layer split one request across calls while keeping per-seed outputs
+        identical (``serve/api.py`` auto-batch policy)."""
         cfg = self.config
         m = self.m
         manga = m.manga
@@ -642,8 +650,12 @@ class DiffSenseiPipeline:
         time_ids = jnp.repeat(time_ids, 2 * num_samples, axis=0)
 
         # 5. latents
-        latents = jax.random.normal(
-            rng, (num_samples, lh, lw, m.unet.config.in_channels), jnp.float32)
+        lat_shape = (num_samples, lh, lw, m.unet.config.in_channels)
+        if latents is None:
+            latents = jax.random.normal(rng, lat_shape, jnp.float32)
+        elif tuple(latents.shape) != lat_shape:
+            raise ValueError(f"latents must be {lat_shape}, "
+                             f"got {tuple(latents.shape)}")
         sampler = make_sampler(cfg.scheduler, steps)
         latents = latents * sampler.init_noise_sigma
 

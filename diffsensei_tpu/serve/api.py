@@ -51,15 +51,28 @@ class GenerationRequest:
 
 
 class DiffSenseiServer:
-    """Pipeline (+ optional MLLM agent) behind a single ``generate`` call."""
+    """Pipeline (+ optional MLLM agent) behind a single ``generate`` call.
+
+    Multi-sample requests follow the measured-best batching policy for the
+    bucket (docs/PERF.md "Batching panels", v5e round-3 device-anchored):
+    at ≤``auto_batch_max_side``px (default 512 — bs4 = 2.05 panels/s, +13%
+    over sequential) the samples run as ONE batched denoise; above it
+    (1024² saturates the chip at the CFG batch of 2 — bs4 measured 0.39 vs
+    bs1 0.42 panels/s) they run sequentially at batch 1. Both modes draw the
+    request's latents once from ``seed`` and produce the same panels
+    (pipeline ``latents=`` passthrough). ``auto_batch_max_side=None``
+    disables the policy (always one batched call — pre-round-5 behavior).
+    """
 
     def __init__(self, pipeline: DiffSenseiPipeline, agent=None,
                  mllm_spec: Optional[MLLMTokenSpec] = None,
-                 mllm_max_new_tokens: int = 500):
+                 mllm_max_new_tokens: int = 500,
+                 auto_batch_max_side: Optional[int] = 512):
         self.pipeline = pipeline
         self.agent = agent
         self.mllm_spec = mllm_spec
         self.mllm_max_new_tokens = mllm_max_new_tokens
+        self.auto_batch_max_side = auto_batch_max_side
 
     def _preprocess_characters(self, images: Sequence[Image.Image]):
         """Pad with black to max_num_ips; grayscale→RGB like the demo
@@ -114,14 +127,10 @@ class DiffSenseiServer:
         manga = self.pipeline.m.manga
         ip_bbox = list(req.ip_bbox)[: manga.max_num_ips] or None
         dialog_bbox = list(req.dialog_bbox)[: manga.max_num_dialogs] or None
-        images = self.pipeline(
-            req.prompt,
-            height=req.height, width=req.width,
+        kwargs = dict(
             num_inference_steps=req.num_inference_steps,
             guidance_scale=req.guidance_scale,
             negative_prompt=req.negative_prompt,
-            num_samples=req.num_samples,
-            rng=jax.random.key(req.seed),
             ip_pixel_values=clip_pixels,
             ip_image_embeds=ip_image_embeds,
             ip_bbox=ip_bbox,
@@ -131,7 +140,28 @@ class DiffSenseiServer:
             deep_cache_interval=req.deep_cache_interval,
             deep_cache_split=req.deep_cache_split,
         )
-        return np.asarray(images)
+        # one standard-normal draw per request, shared by both batching
+        # modes so the policy never changes the panels a seed produces
+        from diffsensei_tpu.core.buckets import snap_to_bucket
+        height, width = snap_to_bucket(req.height, req.width)
+        pipe = self.pipeline
+        lh = height // pipe.latent_scale
+        lw = width // pipe.latent_scale
+        lat = jax.random.normal(
+            jax.random.key(req.seed),
+            (req.num_samples, lh, lw, pipe.m.unet.config.in_channels),
+            jnp.float32)
+        batched = (req.num_samples == 1
+                   or self.auto_batch_max_side is None
+                   or max(height, width) <= self.auto_batch_max_side)
+        if batched:
+            images = pipe(req.prompt, height=height, width=width,
+                          num_samples=req.num_samples, latents=lat, **kwargs)
+            return np.asarray(images)
+        return np.concatenate(
+            [np.asarray(pipe(req.prompt, height=height, width=width,
+                             num_samples=1, latents=lat[i:i + 1], **kwargs))
+             for i in range(req.num_samples)], axis=0)
 
     def generate_pil(self, req: GenerationRequest) -> List[Image.Image]:
         arr = (self.generate(req) * 255).round().astype(np.uint8)

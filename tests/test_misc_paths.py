@@ -131,3 +131,27 @@ def test_serve_cli_quantize_unet_flag(tmp_path):
     node = captured["params"]["params"]["mid_attn"]["blocks_0"]["attn1"]
     assert node["to_q"]["kernel_q"].dtype == jnp.int8
     assert Image.open(out).size == (256, 256)
+
+
+def test_auto_batch_policy_same_panels_per_seed(modules):
+    """Serving policy (VERDICT r4 next #4): multi-sample requests batch at
+    <=512px buckets and run sequentially above (docs/PERF.md "Batching
+    panels") — and the mode must NEVER change what a seed produces. Both
+    modes share one latent draw via the pipeline's ``latents=`` passthrough;
+    outputs agree to numerical tolerance (batch-N vs batch-1 programs tile
+    reductions differently)."""
+    from diffsensei_tpu.pipelines.pipeline import DiffSenseiPipeline
+    from diffsensei_tpu.serve.api import DiffSenseiServer, GenerationRequest
+
+    pipe = DiffSenseiPipeline(modules)
+    ids = {k: jnp.zeros((1, 77), jnp.int32)
+           for k in ("ids", "neg_ids", "ids_2", "neg_ids_2")}
+    req = GenerationRequest(prompt="", height=256, width=256,
+                            num_inference_steps=2, num_samples=2, seed=7,
+                            prompt_ids=ids)
+    batched = DiffSenseiServer(pipe, auto_batch_max_side=512).generate(req)
+    sequential = DiffSenseiServer(pipe, auto_batch_max_side=64).generate(req)
+    assert batched.shape == sequential.shape == (2, 256, 256, 3)
+    np.testing.assert_allclose(batched, sequential, rtol=2e-4, atol=2e-4)
+    # the two samples are distinct draws, not copies
+    assert np.abs(batched[0] - batched[1]).max() > 1e-3

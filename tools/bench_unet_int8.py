@@ -140,11 +140,15 @@ def main() -> dict:
     t0 = time.perf_counter()
     qparams = quantize_unet_params(params)
     quant_s = time.perf_counter() - t0
+    # free the replaced bf16 kernels (non-target leaves are passed through by
+    # reference and stay live in qparams)
+    kept = {id(leaf) for leaf in jax.tree.leaves(qparams)}
     for leaf in jax.tree.leaves(params):
-        try:
-            leaf.delete()
-        except Exception:  # noqa: BLE001
-            pass
+        if id(leaf) not in kept:
+            try:
+                leaf.delete()
+            except Exception:  # noqa: BLE001
+                pass
     qparams = jax.tree.map(jnp.asarray, qparams)
     jax.block_until_ready(qparams)
     total_b, int8_b = tree_bytes(qparams)
