@@ -72,10 +72,17 @@ def build_models(model_cfg: Dict[str, Any], rng: jax.Array):
     if preset == "sdxl":
         # params start as zeros trees; the ``weights:`` group overlays ported
         # checkpoints (utils.load). ``init: random`` trains from scratch.
+        # ``param_dtype: bfloat16`` builds the trees directly in bf16 — the
+        # single-chip training configuration (fp32-init-then-cast transiently
+        # doubles the 10.4 GB UNet tree and OOMs a 16 GB chip).
+        import jax.numpy as jnp
+        pdt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            model_cfg.get("param_dtype", "float32")]
         return PipelineModules.sdxl(rng, init=model_cfg.get("init", "zeros"),
                                     remat=bool(model_cfg.get("remat", False)),
                                     lora_rank=lora_rank,
-                                    remat_policy=model_cfg.get("remat_policy"))
+                                    remat_policy=model_cfg.get("remat_policy"),
+                                    param_dtype=pdt)
     raise ValueError(f"unknown model preset {preset}")
 
 
