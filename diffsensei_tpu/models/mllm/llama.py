@@ -73,19 +73,25 @@ class Int8Dense(nn.Module):
 
 
 class Int4Dense(nn.Module):
-    """Weight-only int4 dense with group-wise scales (serving-only).
+    """Weight-only int4 dense, NIBBLE-PACKED (serving-only).
 
-    ``kernel_q`` int4 [in, out] (XLA packs s4 two-per-byte in HBM) +
-    ``kernel_scale`` fp32 [in/G, out], G = gcd(group, in). Two lowerings:
+    ``jnp.int4`` stores one byte per element on this runtime (measured
+    on-device: 1 Mi s4 elements = 1 MiB), so true 4-bit residency requires
+    manual packing. Storage (``ops/int4_matmul.py``): ``kernel_q`` uint8
+    ``[in, F'/2]`` — two two's-complement nibbles per byte in the split-half
+    layout — plus ``kernel_scale`` fp32 ``[in/G, F']``, G = gcd(group, in),
+    F' the padded feature count (``padded_features``; output is sliced back
+    to ``features``). Two lowerings:
 
     * **decode** (≤16 tokens — the HBM-bandwidth-bound regime int4 targets):
-      grouped contraction ``y = Σ_g s[g] · (x_g @ Q_g)`` — the scale stays
-      outside every dot so the weight stream from HBM is the packed int4
-      matrix itself: ~¼ the bytes of bf16, ~½ of int8, which is the decode
-      ms/token in the same ratio.
-    * **prefill / training shapes**: dequantize per-call (one convert+mul
-      producing the dot operand) — prefill is MXU-bound, so weight bytes
-      don't matter and the plain matmul keeps XLA's tiling optimal.
+      the Pallas kernel ``int4_decode_matmul`` streams ONLY the packed bytes
+      from HBM (~¼ of bf16, ~½ of int8 — and the ms/token in the same
+      ratio), unpacking + group-scaling in VMEM. Kernel-ineligible shapes
+      (tiny test configs, CPU) use the grouped-einsum fallback with the
+      scale outside every dot.
+    * **prefill / training shapes**: dequantize per-call then one plain
+      matmul — prefill is MXU-bound, so weight bytes don't matter and the
+      materialized bf16 operand keeps XLA's tiling optimal.
 
     Quality: group-wise int4 (AWQ/GPTQ-family layout, PAPERS.md) — per-group
     absmax/7 symmetric. Params from ``quant.quantize_llm_params(bits=4)``.
@@ -102,30 +108,38 @@ class Int4Dense(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         import math
 
+        from diffsensei_tpu.ops import int4_matmul as i4
+
         in_features = x.shape[-1]
-        g = math.gcd(self.group, in_features)
+        g = i4.group_size(self.group, in_features)
         gn = in_features // g
+        padded = i4.padded_features(self.features, in_features, self.group)
 
-        def _q_init(key, shape, dtype=jnp.int4):
-            return jax.random.randint(key, shape, -7, 8,
-                                      jnp.int8).astype(dtype)
+        def _q_init(key, shape, dtype=jnp.uint8):
+            return jax.random.randint(key, shape, 0, 256,
+                                      jnp.int32).astype(dtype)
 
-        # uniform ±7 ints have std ≈ 4.32 → lecun-normal-like effective scale
+        # random packed bytes → nibbles uniform in [-8, 7], std ≈ 4.61
+        # → lecun-normal-like effective scale
         def _s_init(key, shape, dtype=jnp.float32):
             del key
-            return jnp.full(shape, 1.0 / (4.32 * in_features ** 0.5), dtype)
+            return jnp.full(shape, 1.0 / (4.61 * in_features ** 0.5), dtype)
 
-        q = self.param("kernel_q", _q_init, (in_features, self.features))
-        s = self.param("kernel_scale", _s_init, (gn, self.features))
+        q = self.param("kernel_q", _q_init, (in_features, padded // 2))
+        s = self.param("kernel_scale", _s_init, (gn, padded))
         tokens = math.prod(x.shape[:-1])
         if tokens <= 16:
-            xg = x.reshape(x.shape[:-1] + (gn, g))
-            q4 = q.reshape(gn, g, self.features).astype(self.dtype)
-            part = jnp.einsum("...gi,gio->...go", xg, q4)
-            return jnp.sum(part * s.astype(self.dtype), axis=-2)
-        w = (q.reshape(gn, g, self.features).astype(self.dtype)
-             * s.astype(self.dtype)[:, None, :])
-        return x @ w.reshape(in_features, self.features)
+            x2 = x.reshape(tokens, in_features)
+            if (i4.kernel_eligible(in_features, self.group)
+                    and jax.default_backend() == "tpu"):
+                y = i4.int4_decode_matmul(x2.astype(self.dtype), q, s)
+                y = y.astype(self.dtype)
+            else:
+                y = i4.int4_decode_fallback(x2.astype(self.dtype), q, s)
+            return y[..., :self.features].reshape(
+                x.shape[:-1] + (self.features,))
+        w = i4.dequantize(q, s, dtype=self.dtype)
+        return (x @ w)[..., :self.features]
 
 
 class LoRADense(nn.Module):

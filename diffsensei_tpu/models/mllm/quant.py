@@ -42,24 +42,33 @@ def quantize_kernel(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def quantize_kernel_int4(w: np.ndarray,
                          group: int = 128) -> Tuple[np.ndarray, np.ndarray]:
-    """Group-wise symmetric int4: w[in, out] → (q, scale[in/G, out]).
+    """Group-wise symmetric int4: w[in, out] → (packed, scale[in/G, F']).
 
     AWQ/GPTQ-family layout (PAPERS.md): one fp32 scale per (input-group,
     output-channel), G = gcd(group, in) so any width divides evenly. Range
-    ±7 (the -8 code is unused — symmetric). ``q`` returns as int8 host-side;
-    the caller casts to ``jnp.int4`` for the packed device layout consumed by
-    ``models.mllm.llama.Int4Dense``.
+    ±7 (the -8 code is unused — symmetric). Output columns are zero-padded
+    to F' = ``ops.int4_matmul.padded_features`` (pad-column scales are 1)
+    and the nibbles packed two-per-byte in the split-half layout consumed by
+    ``models.mllm.llama.Int4Dense`` — ``jnp.int4`` is one byte per element
+    on this runtime, so real 4-bit residency needs host-side packing.
+    Returns (uint8 [in, F'/2], fp32 [in/G, F']).
     """
     import math
+
+    from diffsensei_tpu.ops.int4_matmul import pack_int4_host, padded_features
 
     w = np.asarray(w, np.float32)
     in_f, out_f = w.shape
     g = math.gcd(group, in_f)
-    wg = w.reshape(in_f // g, g, out_f)
+    padded = padded_features(out_f, in_f, group)
+    if padded != out_f:
+        w = np.concatenate(
+            [w, np.zeros((in_f, padded - out_f), np.float32)], axis=1)
+    wg = w.reshape(in_f // g, g, padded)
     absmax = np.max(np.abs(wg), axis=1)
     scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
     q = np.clip(np.rint(wg / scale[:, None, :]), -7, 7).astype(np.int8)
-    return q.reshape(in_f, out_f), scale
+    return pack_int4_host(q.reshape(in_f, padded)), scale
 
 
 def merge_llm_lora(params: Any, alpha: Optional[float] = None) -> Any:
@@ -112,7 +121,7 @@ def quantize_llm_params(params: Any, bits: int = 8) -> Any:
         out = {k: v for k, v in node.items() if k != "kernel"}
         if bits == 4:
             q, s = quantize_kernel_int4(node["kernel"])
-            out["kernel_q"] = jnp.asarray(q).astype(jnp.int4)
+            out["kernel_q"] = jnp.asarray(q)   # packed uint8 [in, F'/2]
         else:
             q, s = quantize_kernel(node["kernel"])
             out["kernel_q"] = jnp.asarray(q)

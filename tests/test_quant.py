@@ -333,19 +333,25 @@ def test_quantize_unet_leaves_convs_alone():
 # ---------------------------------------------------------------------------
 def test_quantize_kernel_int4_roundtrip():
     from diffsensei_tpu.models.mllm.quant import quantize_kernel_int4
+    from diffsensei_tpu.ops.int4_matmul import unpack_int4
 
     rng = np.random.default_rng(0)
     w = rng.normal(0, 0.03, (256, 48)).astype(np.float32)
     q, s = quantize_kernel_int4(w, group=128)
-    assert q.shape == w.shape and s.shape == (2, 48)
-    assert q.min() >= -7 and q.max() <= 7
-    deq = q.astype(np.float32).reshape(2, 128, 48) * s[:, None, :]
-    err = np.abs(deq.reshape(256, 48) - w)
+    # in=256 / g=128 is kernel-eligible → features pad 48 → 256, packed ÷2
+    assert q.shape == (256, 128) and q.dtype == np.uint8
+    assert s.shape == (2, 256)
+    nib = np.asarray(unpack_int4(jnp.asarray(q)))
+    assert nib.min() >= -7 and nib.max() <= 7
+    deq = nib.astype(np.float32).reshape(2, 128, 256) * s[:, None, :]
+    err = np.abs(deq.reshape(256, 256)[:, :48] - w)
     assert err.max() <= 0.5 * s.max() + 1e-7
+    assert np.all(deq.reshape(256, 256)[:, 48:] == 0)  # pad columns zero
     # zero group must not produce NaNs
     w[:128, 3] = 0.0
     q, s = quantize_kernel_int4(w, group=128)
-    assert np.isfinite(s).all() and np.all(q[:128, 3] == 0)
+    nib = np.asarray(unpack_int4(jnp.asarray(q)))
+    assert np.isfinite(s).all() and np.all(nib[:128, 3] == 0)
 
 
 def test_int4_logits_close_to_fp32():
@@ -353,7 +359,7 @@ def test_int4_logits_close_to_fp32():
     q4 = quantize_agent(agent, bits=4)
     assert str(q4.llm.quantized) == "int4"
     base = q4.llm_params["params"]["layers_0"]["attn"]["q_proj"]["base"]
-    assert base["kernel_q"].dtype == jnp.int4
+    assert base["kernel_q"].dtype == jnp.uint8    # nibble-packed two-per-byte
     assert base["kernel_scale"].ndim == 2
     ids = np.arange(1, 13, dtype=np.int32)[None]
     ref, _, _ = agent.llm.apply(agent.llm_params, jnp.asarray(ids))
