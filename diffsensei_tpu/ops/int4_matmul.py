@@ -6,14 +6,21 @@ does NOT deliver that on this runtime — measured on-device, a 1 Mi-element
 s4 array occupies 1 MiB (one full byte per element), same as int8. This
 module therefore packs nibbles manually and unpacks them on-chip:
 
-* **Layout**: two's-complement int4 nibbles packed two-per-byte along a
-  *split-half* output axis. For logical weights ``w[in, F]`` (``F`` the
-  padded feature count, see :func:`padded_features`): byte column ``j`` of
-  ``packed[in, F//2]`` holds output column ``j`` in its low nibble and
-  column ``F//2 + j`` in its high nibble. Split-half (not adjacent-pair)
-  packing means unpacking never interleaves lanes — each nibble plane is a
-  contiguous block of output columns, so the kernel runs two plain MXU dots
-  and the caller concatenates the halves.
+* **Layout**: int4 nibbles packed two-per-byte along a *split-half* output
+  axis. For logical weights ``w[in, F]`` (``F`` the padded feature count,
+  see :func:`padded_features`): byte column ``j`` of ``packed[in, F//2]``
+  holds output column ``j`` in its low nibble and column ``F//2 + j`` in
+  its high nibble. Split-half (not adjacent-pair) packing means unpacking
+  never interleaves lanes — each nibble plane is a contiguous block of
+  output columns, so the kernel runs two plain MXU dots and the caller
+  concatenates the halves. The two nibbles use DIFFERENT encodings, chosen
+  so the decode kernel never shifts (Mosaic cannot shift i8 vectors, and
+  widening to i32 costs measured 10% of the kernel): the LOW nibble stores
+  ``q + 8`` (biased, in [0, 15] — the -8 is restored as a per-group
+  correction inside the kernel using the already-resident x/scale blocks);
+  the HIGH nibble stores two's complement, extracted as ``(b & 0xF0)``
+  reinterpreted as int8 — the i8 wrap IS the sign extension and yields
+  ``16*q``, the 16 being folded into a pre-divided scale.
 * **Scales**: group-wise symmetric (AWQ/GPTQ-family layout, PAPERS.md) —
   fp32 ``[in/g, F]``, ``g = gcd(group, in)``; dequant is
   ``w[i, o] = q[i, o] * s[i // g, o]``.
@@ -21,12 +28,17 @@ module therefore packs nibbles manually and unpacks them on-chip:
   ``(F/2 // out-tile, in // in-chunk)`` with the in-chunk axis innermost so
   Pallas double-buffers the packed byte stream HBM→VMEM. The ONLY weight
   bytes that cross HBM are the packed matrix itself (~0.5 B/param — ¼ of
-  bf16, ½ of int8); nibbles are split with ``((b & 15) ^ 8) - 8`` /
-  ``((b >> 4) ^ 8) - 8`` on the VPU, group-scaled in fp32, and fed to the
-  MXU as bf16 against the (≤16-token) activation tile. An XLA formulation
-  cannot do this: a dot operand must be materialized, so XLA would write +
-  re-read the dequantized bf16 weights through HBM — 4.5 B/param of traffic,
-  worse than int8.
+  bf16, ½ of int8); nibbles are split with two u8 ANDs + i8→bf16 converts
+  on the VPU (shift-free, see Layout), dotted per 128-row group on the MXU
+  against the (≤16-token) activation tile, and group-scaled in fp32 on the
+  [16, out] partials (8× less VPU multiply work than scaling [in, out]
+  weights). An XLA formulation cannot do this: a dot operand must be
+  materialized, so XLA would write + re-read the dequantized bf16 weights
+  through HBM — 4.5 B/param of traffic, worse than int8. Measured v5e,
+  [16,5120]@[5120,13824] (13B gate-proj): 0.180 ms/call vs 0.097 ms for
+  the XLA int8-dequant dot — int4 decode is VPU-dequant-bound, not
+  HBM-bound; it trades ~2× per-layer time for the 2× footprint the
+  co-resident topology needs (docs/PERF.md).
 * **Prefill / CPU fallback**: dequantize-then-matmul (prefill is MXU-bound;
   weight bytes don't matter) and a grouped-einsum decode fallback keeping
   the fp32 scale outside every dot (bit-matches the kernel's math class).
@@ -74,19 +86,23 @@ def padded_features(features: int, in_features: int, group: int) -> int:
 
 
 def pack_int4_host(q: np.ndarray) -> np.ndarray:
-    """[in, F] int nibbles in [-8, 7] → packed uint8 [in, F//2] (host-side)."""
+    """[in, F] int nibbles in [-8, 7] → packed uint8 [in, F//2] (host-side).
+
+    Low nibble: biased (``q + 8``); high nibble: two's complement — the
+    shift-free decode-kernel layout (module docstring, Layout).
+    """
     q = np.asarray(q, np.int32)
     assert q.shape[-1] % 2 == 0, q.shape
     half = q.shape[-1] // 2
-    lo, hi = q[..., :half], q[..., half:]
+    lo, hi = q[..., :half] + 8, q[..., half:]
     return ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """packed uint8 [in, F//2] → int32 nibble values [in, F] (jit-safe)."""
     b = packed.astype(jnp.int32)
-    lo = ((b & 0xF) ^ 8) - 8
-    hi = ((b >> 4) ^ 8) - 8
+    lo = (b & 0xF) - 8                    # biased storage
+    hi = ((b >> 4) ^ 8) - 8               # two's complement storage
     return jnp.concatenate([lo, hi], axis=-1)
 
 
@@ -115,20 +131,35 @@ def _decode_kernel(x_ref, q_ref, slo_ref, shi_ref, olo_ref, ohi_ref, *,
         olo_ref[:] = jnp.zeros_like(olo_ref)
         ohi_ref[:] = jnp.zeros_like(ohi_ref)
 
-    b = q_ref[:].astype(jnp.int32)                  # [in_blk, out2_blk]
+    b = q_ref[:]                                    # [in_blk, out2_blk] u8
     x = x_ref[:]                                    # [16, in_blk] bf16
     gpc = groups_per_chunk
     in_blk, out2_blk = q_ref.shape
+    g = in_blk // gpc
 
-    def scaled_half(nib, s_ref):
-        w = nib.reshape(gpc, in_blk // gpc, out2_blk).astype(jnp.float32)
-        w = w * s_ref[:][:, None, :]                # fp32 group scales
-        return w.reshape(in_blk, out2_blk).astype(jnp.bfloat16)
+    # Shift-free unpack (module docstring, Layout). Mosaic keeps u8 AND and
+    # i8→bf16 4-packed per 32-bit register; an i32 widen costs measured 10%.
+    lo = (b & 0x0F).astype(jnp.int8).astype(jnp.bfloat16)   # q + 8
+    hi = (b & 0xF0).astype(jnp.int8).astype(jnp.bfloat16)   # 16 * q (wrap)
 
-    w_lo = scaled_half(((b & 0xF) ^ 8) - 8, slo_ref)
-    w_hi = scaled_half(((b >> 4) ^ 8) - 8, shi_ref)
-    olo_ref[:] += jnp.dot(x, w_lo, preferred_element_type=jnp.float32)
-    ohi_ref[:] += jnp.dot(x, w_hi, preferred_element_type=jnp.float32)
+    # Per-group dots; scales applied to the [16, out] partials. The lo half
+    # carries the +8 bias: subtract 8 * sum(x_g) per group before scaling —
+    # uses only blocks already in VMEM, zero extra HBM traffic.
+    def acc_half(n, s_ref, o_ref, bias):
+        acc = jnp.zeros(o_ref.shape, jnp.float32)
+        for gi in range(gpc):
+            xg = x[:, gi * g:(gi + 1) * g]
+            p = jnp.dot(xg, n[gi * g:(gi + 1) * g, :],
+                        preferred_element_type=jnp.float32)
+            if bias:
+                csum = jnp.sum(xg.astype(jnp.float32), axis=-1,
+                               keepdims=True)          # [16, 1]
+                p = p - 8.0 * csum
+            acc += p * s_ref[0, gi][None, :]
+        o_ref[:] += acc
+
+    acc_half(lo, slo_ref, olo_ref, bias=True)
+    acc_half(hi, shi_ref, ohi_ref, bias=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -151,9 +182,16 @@ def int4_decode_matmul(x: jnp.ndarray, packed: jnp.ndarray,
 
     xp = jnp.zeros((_TOKEN_PAD, in_f), jnp.bfloat16).at[:tokens].set(
         x.astype(jnp.bfloat16))
-    s_lo, s_hi = scale[:, :out2], scale[:, out2:]
+    # Scales are tiny but their natural [gn, out2] layout cannot block-tile:
+    # a (gpc, out2_blk) window has gpc < 8 sublanes, which Mosaic rejects
+    # unless the dim is un-blocked. Fold the chunk axis out front so the
+    # last-two block dims are (gpc == full dim, 128-multiple).
+    n_chunks = in_f // in_blk
+    s_lo = scale[:, :out2].reshape(n_chunks, gpc, out2)
+    # hi nibbles arrive as 16*q (shift-free extraction) — pre-fold the /16
+    s_hi = (scale[:, out2:] / 16.0).reshape(n_chunks, gpc, out2)
 
-    grid = (out2 // out2_blk, in_f // in_blk)
+    grid = (out2 // out2_blk, n_chunks)
     flops = 2 * _TOKEN_PAD * in_f * out2 * 2
     kern = functools.partial(_decode_kernel, groups_per_chunk=gpc)
     y_lo, y_hi = pl.pallas_call(
@@ -164,9 +202,9 @@ def int4_decode_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((in_blk, out2_blk), lambda j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpc, out2_blk), lambda j, k: (k, j),
+            pl.BlockSpec((1, gpc, out2_blk), lambda j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpc, out2_blk), lambda j, k: (k, j),
+            pl.BlockSpec((1, gpc, out2_blk), lambda j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
