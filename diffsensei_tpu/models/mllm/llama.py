@@ -78,8 +78,10 @@ class Int4Dense(nn.Module):
     ``jnp.int4`` stores one byte per element on this runtime (measured
     on-device: 1 Mi s4 elements = 1 MiB), so true 4-bit residency requires
     manual packing. Storage (``ops/int4_matmul.py``): ``kernel_q`` uint8
-    ``[in, F'/2]`` — two two's-complement nibbles per byte in the split-half
-    layout — plus ``kernel_scale`` fp32 ``[in/G, F']``, G = gcd(group, in),
+    ``[in, F'/2]`` — two nibbles per byte in the split-half layout (low
+    biased ``q+8``, high two's complement — the shift-free decode encoding,
+    see the module docstring) — plus ``kernel_scale`` fp32 ``[in/G, F']``,
+    G = gcd(group, in),
     F' the padded feature count (``padded_features``; output is sliced back
     to ``features``). Two lowerings:
 
