@@ -23,6 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_l2_normalize(f: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalize with a gradient that is finite at ``f == 0``.
+
+    ``f / clip(norm(f), eps)`` matches torch ``F.normalize`` forward, but in
+    JAX ``d norm/df`` at f=0 is 0/0 = NaN and ``clip``'s zero cotangent
+    multiplies it as 0*NaN = NaN — one all-zero pooled character feature
+    (padded sample, zeros-init smoke run) NaN-poisons every upstream
+    parameter after a single optimizer step. torch defines the norm
+    subgradient at 0 as 0, so the reference never trips this. Folding the
+    floor INSIDE the sqrt keeps the chain finite everywhere; for
+    ``norm >> 1e-6`` the two forms agree to well below bf16 resolution."""
+    sumsq = jnp.sum(jnp.square(f), axis=-1, keepdims=True)
+    return f * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-12))
+
+
 def diffusion_loss(noise_pred: jnp.ndarray, noise: jnp.ndarray,
                    sample_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Epsilon MSE; ``sample_mask`` [B] masks padded batch rows (the TPU build
@@ -78,7 +93,7 @@ def _char_features(ip_embeds: jnp.ndarray, bsz: int, max_num_ips: int,
     n_sources = ip_embeds.shape[0] // bsz
     f = ip_embeds.reshape(bsz, n_sources, max_num_ips, num_vision_tokens, d)
     f = f.transpose(0, 2, 1, 3, 4).mean(axis=3)           # [B, I, S, D]
-    return f / jnp.clip(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6, None)
+    return _safe_l2_normalize(f)
 
 
 def ip_contrastive_loss(
@@ -144,7 +159,7 @@ def ip_contrastive_loss_slow(
     n_sources = ip_embeds.shape[0] // bsz
     f = ip_embeds.reshape(bsz, n_sources, max_num_ips, num_vision_tokens, d)
     f = f.transpose(0, 2, 1, 3, 4)                        # [B, I, S, V, D]
-    f = f / jnp.clip(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6, None)
+    f = _safe_l2_normalize(f)
     n = bsz * max_num_ips * n_sources
     views = f.reshape(n, num_vision_tokens, d).astype(jnp.float32)
     valid = ip_exists.reshape(n) > 0

@@ -61,6 +61,28 @@ def test_ip_contrastive_loss_prefers_consistent_views():
     assert float(loss_good) < float(loss_bad)
 
 
+@pytest.mark.parametrize("fn", [losses.ip_contrastive_loss,
+                                losses.ip_contrastive_loss_slow])
+def test_ip_contrastive_loss_grad_finite_at_zero_embeds(fn):
+    """Regression: an all-zero pooled character feature (padded sample, or a
+    zeros-init smoke run) must NOT NaN the gradient. The old
+    ``f / clip(norm(f), 1e-6)`` form had 0*NaN = NaN cotangents at f=0 and
+    one such feature poisoned every resampler param after a single AdamW
+    step (observed in the round-5 sustained-training run, step 2)."""
+    b, i, s, v, d = 2, 2, 2, 2, 4
+    exists = jnp.ones((b, i, s), jnp.float32)
+    zero = jnp.zeros((b * s, i * v, d), jnp.float32)
+    grad = jax.grad(lambda e: fn(e, exists, b, i, v))(zero)
+    assert np.isfinite(np.asarray(grad)).all()
+    # mixed case: one real character, one all-zero character block
+    rng = np.random.default_rng(2)
+    mixed = jnp.asarray(rng.normal(size=(b * s, i * v, d)), jnp.float32)
+    mixed = mixed.at[:, :v].set(0.0)
+    loss, grad = jax.value_and_grad(lambda e: fn(e, exists, b, i, v))(mixed)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
 def test_ip_contrastive_loss_no_positives_is_zero():
     b, i, s, v, d = 1, 2, 2, 2, 4
     embeds = jnp.ones((b * s, i * v, d), jnp.float32)
