@@ -521,6 +521,11 @@ def main() -> None:
         "mllm_llm_geometry": None,
         "mllm_13b_peak_hbm_gb": None,
         "coresident_peak_hbm_gb": None,
+        "sustained_steps_per_sec": None,
+        "sustained_mean_step_s": None,
+        "sustained_data_wait_frac": None,
+        "sustained_n_compiles": None,
+        "sustained_buckets": None,
         "param_load_s": round(load_s, 2),
         "snapshot_created_s": (round(created_s, 1) if created_s else None),
         "chip_matmul_tflops": (round(tflops, 1) if tflops else None),
@@ -673,6 +678,22 @@ def main() -> None:
             result["skipped"]["deepcache"] = \
                 "deadline (no valid cached marker)"
         print("# deepcache leg skipped: deadline", flush=True)
+
+    # sustained multi-bucket training evidence (VERDICT r4 next #6): the
+    # marker is written builder-side by tools/bench_sustained_train.py (a
+    # 20-step stage-2 train run does not fit the bench window); passed
+    # through here so the driver artifact carries the sustained numbers.
+    sus = _load_marker("sustained.json")
+    if sus is not None:
+        result["sustained_steps_per_sec"] = sus.get("sustained_steps_per_sec")
+        result["sustained_mean_step_s"] = sus.get("mean_step_s")
+        result["sustained_data_wait_frac"] = sus.get("data_wait_frac")
+        result["sustained_n_compiles"] = sus.get("n_compiles")
+        result["sustained_buckets"] = sus.get("buckets")
+        print(json.dumps(result), flush=True)
+    else:
+        result["skipped"]["sustained"] = \
+            "no marker (run tools/bench_sustained_train.py)"
 
     # ---- past this point the diffusion stack is no longer needed: free its
     # device buffers so the 13B MLLM subprocess (13 GB of int8 weights) and

@@ -123,6 +123,18 @@ def _sample_noise_and_t(schedule: DDPMSchedule, latents, rng):
     return noise, t, schedule.add_noise(latents, noise, t)
 
 
+def _panel_count(batch) -> jnp.ndarray:
+    """Real (non-padded) panels in the batch: sum of the loss mask, or the
+    full batch size when the collate produced no padding. Logged per step so
+    throughput tooling reads panels/s exactly instead of inferring batch
+    composition from step times (which fails when the per-bucket step times
+    coincide — see tools/bench_sustained_train.py)."""
+    mask = batch.get("sample_mask")
+    if mask is not None:
+        return jnp.sum(mask)
+    return jnp.asarray(float(batch["pixel_values"].shape[0]), jnp.float32)
+
+
 def _time_ids(batch) -> jnp.ndarray:
     """SDXL micro-conditioning [orig_hw, crop_tl, target_hw] (train.py:399-404)."""
     return jnp.concatenate(
@@ -155,7 +167,8 @@ def make_stage1_step(unet, schedule: DDPMSchedule,
     def step(state: TrainState, frozen: FrozenDiffusionStack, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, frozen, batch, rng)
-        return state.apply_gradients(grads), {**metrics, "loss": loss}
+        return state.apply_gradients(grads), {
+            **metrics, "loss": loss, "panels": _panel_count(batch)}
 
     step.loss_fn = loss_fn   # exposed for equivalence tests / diagnostics
     return step
@@ -283,7 +296,8 @@ def make_stage2_step(unet, resampler, schedule: DDPMSchedule,
     def step(state: TrainState, frozen: FrozenDiffusionStack, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, frozen, batch, rng)
-        return state.apply_gradients(grads), {**metrics, "loss": loss}
+        return state.apply_gradients(grads), {
+            **metrics, "loss": loss, "panels": _panel_count(batch)}
 
     step.loss_fn = loss_fn   # exposed for equivalence tests / diagnostics
     return step

@@ -33,7 +33,9 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 MARKER = os.path.join(_REPO, ".bench-cache", "sustained.json")
-STEPS = int(os.environ.get("SUSTAIN_STEPS", "20"))
+# 24 total so that >=20 steady steps remain after the two compile steps are
+# excluded (VERDICT r4 #6 asks for >=20 sustained steps).
+STEPS = int(os.environ.get("SUSTAIN_STEPS", "24"))
 COMPILE_THRESHOLD_S = 30.0
 
 
@@ -122,13 +124,13 @@ trainer:
     steady = [r for r in rows if r["time/step_s"] <= COMPILE_THRESHOLD_S]
     step_s = [r["time/step_s"] for r in steady]
     data_s = [r["time/data_s"] for r in steady]
-    panels = 0
-    for r in steady:
-        # batch size from the loss-mask count is not logged; infer panels
-        # from the per-class scaling: 512-class steps carry 4 panels and run
-        # several× faster than 1024-class ones — split by step time against
-        # the midpoint between the two observed modes.
-        panels += 4 if r["time/step_s"] < 0.5 * max(step_s) else 1
+    # exact per-step panel counts are logged by the step itself
+    # (train/diffusion.py::_panel_count — sum of the loss mask); inferring
+    # batch composition from step times fails here because the 512²-batch-4
+    # and 1024²-batch-1 step times coincide (~0.45-0.50 s on v5e).
+    panels = sum(r["panels"] for r in steady)
+    losses = [r["loss"] for r in rows]
+    losses_finite = all(l == l for l in losses)   # NaN != NaN
 
     result = {
         "sustained_steps": len(steady),
@@ -143,16 +145,27 @@ trainer:
             sum(data_s) / (sum(step_s) + sum(data_s)), 4),
         "buckets": "512^2-class (batch 4) + 1024^2-class (batch 1)",
         "total_wall_s": round(wall, 1),
+        "losses_finite": losses_finite,
     }
-    ok_compiles = len(compiles) == 2
-    result["exactly_two_compiles"] = ok_compiles
+    # NOTE: a long step is not necessarily a compile — the tunnel chip is
+    # externally time-shared and a contention stall also exceeds the
+    # threshold (round-5 first run: a 408 s stall at step 6 on top of the
+    # two real compiles). With a warm persistent compile cache the two
+    # expected "compiles" collapse to fast deserializes and any remaining
+    # long step is contention.
+    ok_compiles = len(compiles) <= 2
+    result["exactly_two_compiles"] = len(compiles) == 2
     os.makedirs(os.path.dirname(MARKER), exist_ok=True)
     with open(MARKER, "w") as f:
         json.dump(result, f)
     print(json.dumps(result), flush=True)
     if not ok_compiles:
-        print(f"# WARNING: expected exactly 2 compiles, saw {len(compiles)}",
+        print(f"# WARNING: expected <=2 long (compile) steps, saw "
+              f"{len(compiles)} — extra ones are likely contention stalls",
               flush=True)
+    if not losses_finite:
+        print("# WARNING: non-finite loss in the run — throughput is still "
+              "valid but investigate before publishing", flush=True)
     return result
 
 
