@@ -102,12 +102,17 @@ def _snapshot_params(unet, init_args):
     runtime inputs to the compiled program, XLA cannot fold them)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from diffsensei_tpu.train.checkpoint import export_weights, load_weights
 
     template = jax.eval_shape(unet.init, jax.random.key(2), *init_args[:-1],
                               **init_args[-1])
-    zeros = lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+    # HOST-side zeros: device zeros would round-trip every leaf through the
+    # axon tunnel during export (measured: >14 min stall on a fresh
+    # container); numpy zeros let Orbax write straight from host memory and
+    # only the restore upload touches the tunnel.
+    zeros = lambda: jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
                                  template)
     created_s = 0.0
     if not _os.path.isdir(SNAPSHOT_DIR):
